@@ -1,0 +1,36 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so sharding
+paths are exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+from mesh_navigation_tpu.mesh import build_mesh, synthetic
+
+
+@pytest.fixture(scope="session")
+def grid_mesh_small():
+    """8x8 flat grid — hand-checkable distances."""
+    v, f = synthetic.grid_mesh(8, 8)
+    return build_mesh(v, f)
+
+
+@pytest.fixture(scope="session")
+def terrain_mesh_medium():
+    """32x32 undulating terrain — irregular edge lengths and normals."""
+    v, f = synthetic.terrain_mesh(32, 32, spacing=0.5, hills=2.0, roughness=0.02, seed=3)
+    return build_mesh(v, f)
+
+
+@pytest.fixture(scope="session")
+def sphere_mesh():
+    v, f = synthetic.icosphere(2)
+    return build_mesh(v, f)
