@@ -1,0 +1,98 @@
+"""Obstacle layer: live sensor point clouds -> lethal vertices.
+
+Parity with mesh_layers/src/obstacle_layer.cpp: per cloud, transform into the
+map frame (156-175), rotate the configured `down_axis` (184-208), range-filter
+(214-227), batch-raycast every point along the down axis (229-239), mark all
+three vertices of faces hit within `robot_height` as cost ∞ + lethal
+(241-256), then diff against the previous lethal set (258-274).
+
+TPU re-design: the Embree raycast becomes the batched device raycast
+(ops/raycast.py); the std::set difference becomes boolean mask ops; the whole
+update is one jitted function of (points, previous lethal mask).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mesh_navigation_tpu.config import LayerConfig
+from mesh_navigation_tpu.layers.base import LayerOutput, register_layer, zero_vectors
+from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.ops import raycast
+
+INF = jnp.inf
+
+
+class ObstacleParams(NamedTuple):
+    """obstacle_layer.cpp:32-110 parameter defaults."""
+    robot_height: float = 1.0
+    min_range: float = 0.0
+    max_range: float = 10.0
+    down_axis: tuple[float, float, float] = (0.0, 0.0, -1.0)
+
+
+def process_point_cloud(
+    mesh: MeshArrays,
+    points: jax.Array,          # [N, 3] in map frame (invalid rows -> nan ok)
+    params: ObstacleParams,
+    *,
+    sensor_origin: jax.Array | None = None,
+) -> jax.Array:
+    """Returns the new lethal mask [V] bool.
+
+    Points are range-filtered around `sensor_origin` (obstacle_layer.cpp:
+    214-227), rays are cast from each point along `down_axis`, and faces hit
+    within `robot_height` make their three vertices lethal (241-256).
+    """
+    down = jnp.asarray(params.down_axis, jnp.float32)
+    down = down / jnp.maximum(jnp.linalg.norm(down), 1e-12)
+    finite = jnp.all(jnp.isfinite(points), axis=-1)
+    if sensor_origin is not None:
+        rng = jnp.linalg.norm(points - sensor_origin, axis=-1)
+        finite = finite & (rng >= params.min_range) & (rng <= params.max_range)
+    safe_points = jnp.where(finite[:, None], points, 0.0)
+    dirs = jnp.broadcast_to(down, safe_points.shape)
+    t, face_id, hit = raycast.raycast_bruteforce(mesh, safe_points, dirs)
+    hit = hit & finite & (t <= params.robot_height)
+    face_hit = jnp.zeros(mesh.num_faces, bool).at[jnp.where(hit, face_id, 0)].set(
+        hit, mode="drop"
+    )
+    lethal = jnp.zeros(mesh.num_vertices, bool)
+    for k in range(3):
+        lethal = lethal.at[mesh.faces[:, k]].max(face_hit)
+    return lethal
+
+
+def lethal_diff(prev: jax.Array, new: jax.Array) -> jax.Array:
+    """Symmetric difference of lethal sets as a changed-vertex mask
+    (obstacle_layer.cpp:258-274)."""
+    return prev ^ new
+
+
+@register_layer("obstacle")
+def make_obstacle(cfg: LayerConfig):
+    params = ObstacleParams(
+        robot_height=cfg.param("robot_height", 1.0),
+        min_range=cfg.param("min_range", 0.0),
+        max_range=cfg.param("max_range", 10.0),
+    )
+
+    def fn(mesh: MeshArrays, inputs: dict, state) -> LayerOutput:
+        # Live state: the most recent lethal mask, injected via
+        # state["obstacle:<name>:points"] or ...":lethal" by the runtime.
+        key_pts = f"obstacle:{cfg.name}:points"
+        key_lethal = f"obstacle:{cfg.name}:lethal"
+        if key_pts in state:
+            lethal = process_point_cloud(mesh, state[key_pts], params)
+            state[key_lethal] = lethal
+        elif key_lethal in state:
+            lethal = state[key_lethal]
+        else:
+            lethal = jnp.zeros(mesh.num_vertices, bool)
+        costs = jnp.where(lethal, INF, 0.0).astype(jnp.float32)
+        return LayerOutput(costs=costs, lethal=lethal, vectors=zero_vectors(mesh))
+
+    return fn
