@@ -1,0 +1,152 @@
+"""Device-side spatial queries: nearest vertex, containing face, neighbour
+face search.
+
+The reference uses a nanoflann kd-tree for pose->vertex snapping
+(mesh_map.cpp:306-310, 1161-1174) and scans the nearest vertex's incident
+faces for the containing face (1120-1159). kd-trees don't map to TPU; we
+precompute a uniform spatial hash grid over vertices on the host and answer
+queries with fixed-size probes of the 3x3x3 neighbouring cells — static
+shapes, pure gathers, vmap-able over thousands of query points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh import geometry
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpatialGrid:
+    """Uniform hash grid over vertex positions (host-built, device-queried)."""
+    origin: jax.Array        # [3] f32 grid min corner
+    cell_size: jax.Array     # [] f32
+    dims: jax.Array          # [3] i32 number of cells per axis
+    cell_start: jax.Array    # [C+1] i32 prefix offsets into sorted_vertices
+    sorted_vertices: jax.Array  # [V] i32 vertex ids sorted by cell
+    max_per_cell: jax.Array  # [] i32 (static metadata, kept as array)
+
+
+def build_grid(mesh: MeshArrays, cell_size: float | None = None) -> SpatialGrid:
+    """Host-side grid build. Default cell size ≈ 2x mean edge length."""
+    pos = np.asarray(mesh.vertices)
+    if cell_size is None:
+        ed = np.asarray(mesh.edge_dist)
+        cell_size = 2.0 * float(ed.mean()) if len(ed) else 1.0
+    origin = pos.min(axis=0) - 1e-4
+    extent = pos.max(axis=0) - origin + 1e-3
+    dims = np.maximum(np.ceil(extent / cell_size).astype(np.int64), 1)
+    cell = np.floor((pos - origin) / cell_size).astype(np.int64)
+    cell = np.clip(cell, 0, dims - 1)
+    cid = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    order = np.argsort(cid, kind="stable")
+    sorted_cid = cid[order]
+    C = int(dims[0] * dims[1] * dims[2])
+    cell_start = np.searchsorted(sorted_cid, np.arange(C + 1)).astype(np.int32)
+    counts = np.diff(cell_start)
+    return SpatialGrid(
+        origin=jnp.asarray(origin.astype(np.float32)),
+        cell_size=jnp.float32(cell_size),
+        dims=jnp.asarray(dims.astype(np.int32)),
+        cell_start=jnp.asarray(cell_start),
+        sorted_vertices=jnp.asarray(order.astype(np.int32)),
+        max_per_cell=jnp.int32(int(counts.max()) if len(counts) else 0),
+    )
+
+
+def nearest_vertex(
+    mesh: MeshArrays,
+    grid: SpatialGrid,
+    point: jax.Array,
+    *,
+    probe: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """Nearest vertex to `point` via a 3x3x3 cell probe.
+
+    Replaces MeshMap::getNearestVertexHandle (mesh_map.cpp:1161-1174). Each of
+    the 27 cells contributes up to `probe` candidates (static bound); on
+    overflow the probe silently truncates — callers size `probe` from
+    grid.max_per_cell at trace time. Returns (vertex_id, distance_sq).
+    """
+    cell = jnp.floor((point - grid.origin) / grid.cell_size).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, grid.dims - 1)
+    offsets = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)                                           # [27, 3]
+    nb = cell[None, :] + offsets
+    ok = jnp.all((nb >= 0) & (nb < grid.dims[None, :]), axis=-1)
+    nb = jnp.clip(nb, 0, grid.dims - 1)
+    cids = (nb[:, 0] * grid.dims[1] + nb[:, 1]) * grid.dims[2] + nb[:, 2]
+    starts = grid.cell_start[cids]                              # [27]
+    ends = grid.cell_start[cids + 1]
+    slots = jnp.arange(probe)                                   # [P]
+    idx = starts[:, None] + slots[None, :]                      # [27, P]
+    valid = ok[:, None] & (idx < ends[:, None])
+    cand = grid.sorted_vertices[jnp.clip(idx, 0, grid.sorted_vertices.shape[0] - 1)]
+    d2 = jnp.sum((mesh.vertices[cand] - point) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    flat = jnp.argmin(d2)
+    return cand.reshape(-1)[flat], d2.reshape(-1)[flat]
+
+
+def containing_face(
+    mesh: MeshArrays,
+    grid: SpatialGrid,
+    point: jax.Array,
+    max_dist: float = 0.4,
+    *,
+    probe: int = 32,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Containing face search: nearest vertex, then scan its incident faces
+    for the minimum |projected distance| barycentric hit — parity with
+    MeshMap::searchContainingFace (mesh_map.cpp:1120-1159).
+
+    Returns (face_id or -1, bary [3], dist, found).
+    """
+    v, _ = nearest_vertex(mesh, grid, point, probe=probe)
+    faces = mesh.vertex_faces[v]                 # [FD]
+    fmask = mesh.vertex_faces_mask[v]
+    tri = mesh.vertices[mesh.faces[faces]]       # [FD, 3, 3]
+    bary, dist, inside = geometry.projected_barycentric_coords(point[None, :], tri)
+    score = jnp.where(inside & fmask & (jnp.abs(dist) < max_dist), jnp.abs(dist), jnp.inf)
+    best = jnp.argmin(score)
+    found = jnp.isfinite(score[best])
+    return (
+        jnp.where(found, faces[best], -1),
+        bary[best],
+        dist[best],
+        found,
+    )
+
+
+def neighbour_face_search(
+    mesh: MeshArrays,
+    point: jax.Array,
+    face: jax.Array,
+    max_dist: float = 0.4,
+    *,
+    hops: int = 2,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Bounded BFS over face adjacency from `face` looking for a projected
+    barycentric hit — the fast path of MeshMap::searchNeighbourFaces
+    (mesh_map.cpp:999-1068), with a static hop bound instead of a radius-
+    limited worklist. Returns (face_id or -1, bary [3], found)."""
+    # candidate set: face + rings of face_neighbors, deduped statically
+    cands = face[None]
+    frontier = face[None]
+    for _ in range(hops):
+        nxt = mesh.face_neighbors[frontier].reshape(-1)
+        frontier = nxt
+        cands = jnp.concatenate([cands, nxt])
+    tri = mesh.vertices[mesh.faces[cands]]
+    bary, dist, inside = geometry.projected_barycentric_coords(point[None, :], tri)
+    score = jnp.where(inside & (jnp.abs(dist) < max_dist), jnp.abs(dist), jnp.inf)
+    best = jnp.argmin(score)
+    found = jnp.isfinite(score[best])
+    return jnp.where(found, cands[best], -1), bary[best], found

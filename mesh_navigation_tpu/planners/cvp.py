@@ -1,0 +1,161 @@
+"""Continuous Vector Field Planner (CVP) — fast-marching over triangle
+interiors as face-parallel sweeps.
+
+Capability parity with cvp_mesh_planner (SURVEY.md §2.1 C14, Pütz ICRA'21):
+seed the three vertices of the goal's containing face with Euclidean
+distances (cvp_mesh_planner.cpp:716-728), propagate the wavefront with the
+geometric-unfolding triangle update recording predecessor/θ/cutting-face
+(:369-556), derive the vector field by rotating predecessor directions by θ
+around the vertex normal (:204-239), then extract the path by *vector-field
+back-tracking* from the start with `meshAhead` surface walking (:920-951).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mesh_navigation_tpu.api.outcomes import Outcome
+from mesh_navigation_tpu.config import PlannerConfig
+from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh import geometry, query
+from mesh_navigation_tpu.ops import eikonal, sweeps
+from mesh_navigation_tpu.control import tracking
+from mesh_navigation_tpu.planners.common import PlanResult, pose_chain
+
+
+class CVPPlanner:
+    """MeshPlanner-shaped facade running the CVP wavefront."""
+
+    def __init__(
+        self,
+        mesh: MeshArrays,
+        config: PlannerConfig = PlannerConfig(),
+        *,
+        grid: Optional[query.SpatialGrid] = None,
+        max_path_len: int = 1024,
+        update: str = "unfolding",
+    ):
+        self.mesh = mesh
+        self.config = config
+        self.grid = grid if grid is not None else query.build_grid(mesh)
+        self.max_path_len = max_path_len
+        self.update = update
+        self._cancel = False
+
+    def cancel(self) -> bool:
+        self._cancel = True
+        return True
+
+    def prepare_weights(
+        self, vertex_costs: jax.Array, edge_cost_factor: float = 0.0
+    ) -> jax.Array:
+        """CVP consumes the combined *edge weights* as triangle side lengths
+        (waveFrontPropagation passes mesh_map->edgeWeights(),
+        cvp_mesh_planner.cpp:746)."""
+        return sweeps.compute_edge_weights(self.mesh, vertex_costs, edge_cost_factor)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def plan_one(
+        self,
+        edge_weights: jax.Array,  # [E]
+        vertex_costs: jax.Array,  # [V]
+        start: jax.Array,         # [3]
+        goal: jax.Array,          # [3]
+        layer_vectors: jax.Array | None = None,
+    ) -> PlanResult:
+        mesh = self.mesh
+        cfg = self.config
+
+        # --- containing faces of start and goal (cvp:674-706) --------------
+        s_face, s_bary, _, s_found = query.containing_face(mesh, self.grid, start)
+        g_face, g_bary, _, g_found = query.containing_face(mesh, self.grid, goal)
+
+        # --- seed goal-face vertices with Euclidean distances (cvp:716-728)
+        g_vids = mesh.faces[jnp.maximum(g_face, 0)]
+        seed_d = jnp.linalg.norm(mesh.vertices[g_vids] - goal, axis=-1)
+        seed = jnp.full(mesh.num_vertices, jnp.inf, jnp.float32)
+        seed = seed.at[g_vids].set(seed_d.astype(jnp.float32))
+
+        target_mask = vertex_costs < cfg.cost_limit  # cvp:802-851 free-vertex skip
+        field = eikonal.eikonal_field(
+            mesh, edge_weights, seed,
+            update=self.update,
+            target_mask=target_mask,
+            max_sweeps=cfg.max_sweeps,
+            block_sweeps=cfg.block_sweeps,
+        )
+        vector_map = eikonal.cvp_vector_map(mesh, field)
+        # seed vertices point straight at the goal (cvp:723 vector_map_ = diff)
+        seed_dirs = geometry.normalize(goal - mesh.vertices[g_vids])
+        vector_map = vector_map.at[g_vids].set(seed_dirs)
+
+        # --- vector-field back-tracking from the start (cvp:920-951) -------
+        step = cfg.step_width
+
+        def walk(carry, _):
+            pos, face, alive = carry
+            # reference termination: squared distance to goal <= step_width
+            # (cvp_mesh_planner.cpp:925 uses distance2 vs step_width as-is)
+            done = jnp.sum((pos - goal) ** 2) <= step
+            new_pos, new_face, ok = tracking.mesh_ahead(
+                mesh, self.grid, vector_map, pos, face, step,
+                layer_vectors=layer_vectors,
+            )
+            still = alive & ~done & ok
+            return (
+                jnp.where(still, new_pos, pos),
+                jnp.where(still, new_face, face),
+                still,
+            ), (pos, face, alive)
+
+        init = (start, s_face, s_found & g_found)
+        (last_pos, last_face, _), (path_pos, path_face, path_alive) = jax.lax.scan(
+            walk, init, None, length=self.max_path_len - 1
+        )
+        # close the chain with the goal pose (cvp makePlan appends the goal)
+        positions = jnp.concatenate([path_pos, goal[None, :]], axis=0)
+        reached = jnp.sum((last_pos - goal) ** 2) <= step
+        valid = jnp.concatenate([path_alive, reached[None]])
+        # collapse padded/frozen entries onto the goal so the pose chain stays
+        # contiguous (the walk stops within step_width of the goal and the
+        # goal pose is appended, cvp makePlan:118-124) — segment costs then
+        # include the final approach and padding contributes zero length.
+        positions = jnp.where(valid[:, None], positions, goal[None, :])
+
+        # poses oriented by the face normals along the back-tracked face
+        # sequence (cvp makePlan:101-124)
+        path_face_full = jnp.concatenate([path_face, jnp.maximum(g_face, 0)[None]])
+        normals = mesh.face_normals[jnp.maximum(path_face_full, 0)]
+        quats, cost = pose_chain(positions, jnp.ones_like(valid), normals)
+
+        outcome = jnp.where(
+            ~(s_found & g_found),
+            jnp.where(~s_found, Outcome.INVALID_START, Outcome.INVALID_GOAL),
+            jnp.where(reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND),
+        ).astype(jnp.int32)
+        return PlanResult(
+            outcome=outcome,
+            path_positions=positions,
+            path_quats=quats,
+            path_valid=valid,
+            cost=jnp.where(reached, cost, jnp.inf),
+            potential=field.dist,
+            vector_map=vector_map,
+            pred=field.pred,
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def plan_batch(
+        self,
+        edge_weights: jax.Array,
+        vertex_costs: jax.Array,
+        starts: jax.Array,
+        goals: jax.Array,
+    ) -> PlanResult:
+        return jax.vmap(
+            lambda s, g: self.plan_one(edge_weights, vertex_costs, s, g)
+        )(starts, goals)

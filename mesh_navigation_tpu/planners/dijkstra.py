@@ -1,0 +1,108 @@
+"""Dijkstra-parity global planner as batched label-correcting sweeps.
+
+Capability parity with dijkstra_mesh_planner (SURVEY.md §2.1 C13): snap start
+and goal to nearest vertices, solve the single-source problem seeded at the
+*goal* (so the potential/vector field points toward it,
+dijkstra_mesh_planner.cpp:80-81), build the predecessor path, the potential
+field and the per-vertex direction field. The priority-queue loop
+(dijkstra_mesh_planner.cpp:287-348) is replaced by `ops.sweeps`; everything
+here is jit-compiled and vmap-batched over scenarios.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mesh_navigation_tpu.api.outcomes import Outcome
+from mesh_navigation_tpu.config import PlannerConfig
+from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh import query
+from mesh_navigation_tpu.ops import sweeps
+from mesh_navigation_tpu.planners.common import PlanResult, pose_chain
+
+
+class DijkstraPlanner:
+    """MeshPlanner-shaped facade (mbf_mesh_core/mesh_planner.h:50-96)."""
+
+    def __init__(
+        self,
+        mesh: MeshArrays,
+        config: PlannerConfig = PlannerConfig(),
+        *,
+        grid: Optional[query.SpatialGrid] = None,
+        max_path_len: int = 1024,
+    ):
+        self.mesh = mesh
+        self.config = config
+        self.grid = grid if grid is not None else query.build_grid(mesh)
+        self.max_path_len = max_path_len
+        self._cancel = False
+
+    # -- MeshPlanner::cancel (cooperative; honored between jit dispatches) ---
+    def cancel(self) -> bool:
+        self._cancel = True
+        return True
+
+    def prepare_weights(
+        self, vertex_costs: jax.Array, edge_cost_factor: float = 0.0
+    ) -> jax.Array:
+        """Edge weights + slot table for the current cost field — the
+        MeshMap::computeEdgeWeights product (mesh_map.cpp:517-561)."""
+        ew = sweeps.compute_edge_weights(self.mesh, vertex_costs, edge_cost_factor)
+        return sweeps.slot_weights(self.mesh, ew, vertex_costs, self.config.cost_limit)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def plan_one(
+        self,
+        weights_vd: jax.Array,
+        start: jax.Array,     # [3]
+        goal: jax.Array,      # [3]
+    ) -> PlanResult:
+        mesh = self.mesh
+        start_v, start_d2 = query.nearest_vertex(mesh, self.grid, start)
+        goal_v, goal_d2 = query.nearest_vertex(mesh, self.grid, goal)
+
+        field = sweeps.shortest_path_field(
+            mesh, weights_vd, goal_v,
+            max_sweeps=self.config.max_sweeps,
+            block_sweeps=self.config.block_sweeps,
+        )
+        vector_map = sweeps.vector_map_from_predecessors(mesh, field.pred)
+        path, valid = sweeps.extract_path(
+            field.pred, start_v, goal_v, self.max_path_len
+        )
+        positions = mesh.vertices[path]
+        normals = mesh.vertex_normals[path]
+        quats, cost = pose_chain(positions, valid, normals)
+
+        reached = jnp.isfinite(field.dist[start_v])
+        outcome = jnp.where(
+            reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND
+        ).astype(jnp.int32)
+        valid = valid & reached
+        return PlanResult(
+            outcome=outcome,
+            path_positions=positions,
+            path_quats=quats,
+            path_valid=valid,
+            cost=jnp.where(reached, cost, jnp.inf),
+            potential=field.dist,
+            vector_map=vector_map,
+            pred=field.pred,
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def plan_batch(
+        self,
+        weights_vd: jax.Array,
+        starts: jax.Array,    # [B, 3]
+        goals: jax.Array,     # [B, 3]
+    ) -> PlanResult:
+        """Thousands of start/goal scenarios per step (BASELINE.json
+        configs[1]/[3]) — the batch axis the reference's one-goal action loop
+        never had."""
+        return jax.vmap(lambda s, g: self.plan_one(weights_vd, s, g))(starts, goals)
