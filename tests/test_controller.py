@@ -1,0 +1,131 @@
+"""Controller law + closed-loop tracking tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mesh_navigation_tpu.api.outcomes import Outcome
+from mesh_navigation_tpu.config import ControllerConfig, PlannerConfig
+from mesh_navigation_tpu.control import MeshController
+from mesh_navigation_tpu.control.controller import initial_state, naive_control
+from mesh_navigation_tpu.mesh import geometry
+from mesh_navigation_tpu.planners import DijkstraPlanner
+
+
+def _quat_yaw(yaw):
+    return jnp.asarray([0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)], jnp.float32)
+
+
+def test_naive_control_aligned():
+    """Zero heading error -> full speed, no turn (mesh_controller.cpp:225-242)."""
+    cfg = ControllerConfig()
+    d = jnp.asarray([1.0, 0.0, 0.0])
+    n = jnp.asarray([0.0, 0.0, 1.0])
+    lin, ang, phi = naive_control(d, d, n, cfg)
+    assert float(phi) < 1e-3
+    np.testing.assert_allclose(float(lin), cfg.max_lin_velocity, rtol=1e-4)
+    np.testing.assert_allclose(float(ang), 0.0, atol=1e-4)
+
+
+def test_naive_control_turns_toward_field():
+    cfg = ControllerConfig()
+    robot = jnp.asarray([1.0, 0.0, 0.0])
+    n = jnp.asarray([0.0, 0.0, 1.0])
+    # field points 90° to the left (+y): robot must turn left (positive omega)
+    left = jnp.asarray([0.0, 1.0, 0.0])
+    lin, ang, phi = naive_control(robot, left, n, cfg)
+    np.testing.assert_allclose(float(phi), np.pi / 2, rtol=1e-4)
+    assert float(ang) > 0.0
+    # 90° > max_angle (20°) -> no forward motion
+    assert float(lin) == 0.0
+    # field to the right -> negative omega
+    right = jnp.asarray([0.0, -1.0, 0.0])
+    _, ang_r, _ = naive_control(robot, right, n, cfg)
+    assert float(ang_r) < 0.0
+
+
+def test_controller_cycle_on_plan(grid_mesh_small):
+    m = grid_mesh_small
+    costs = jnp.zeros(m.num_vertices, jnp.float32)
+    planner = DijkstraPlanner(m, max_path_len=32)
+    W = planner.prepare_weights(costs)
+    goal = jnp.asarray([7.0, 7.0, 0.0])
+    res = planner.plan_one(W, jnp.asarray([0.0, 0.0, 0.0]), goal)
+
+    ctrl = MeshController(m)
+    st = initial_state(goal, jnp.asarray([1.0, 1.0, 0.0]))
+    # robot at (1, 1), facing the goal diagonal
+    pos = jnp.asarray([1.0, 1.0, 0.0])
+    quat = _quat_yaw(np.pi / 4)
+    cmd, st = ctrl.compute_velocity(res.vector_map, costs, pos, quat, st)
+    assert int(cmd.outcome) == Outcome.SUCCESS
+    assert float(cmd.linear) > 0.5           # aligned with the field
+    assert int(st.current_face) >= 0
+
+    # facing away: no forward motion, strong turn
+    cmd2, _ = ctrl.compute_velocity(res.vector_map, costs, pos, _quat_yaw(np.pi + np.pi / 4), st)
+    assert float(cmd2.linear) == 0.0
+    assert abs(float(cmd2.angular)) > 0.1
+
+
+def test_out_of_map(grid_mesh_small):
+    m = grid_mesh_small
+    costs = jnp.zeros(m.num_vertices, jnp.float32)
+    ctrl = MeshController(m)
+    vm = jnp.zeros((m.num_vertices, 3), jnp.float32)
+    st = initial_state(jnp.zeros(3), jnp.asarray([1.0, 0, 0]))
+    cmd, _ = ctrl.compute_velocity(
+        vm, costs, jnp.asarray([30.0, 30.0, 5.0]), _quat_yaw(0.0), st
+    )
+    assert int(cmd.outcome) == Outcome.OUT_OF_MAP
+
+
+def test_closed_loop_reaches_goal(grid_mesh_small):
+    """Plan -> follow the field with the unicycle rollout -> approach goal
+    (BASELINE.json configs[2] closed-loop)."""
+    m = grid_mesh_small
+    costs = jnp.zeros(m.num_vertices, jnp.float32)
+    planner = DijkstraPlanner(m, max_path_len=32)
+    W = planner.prepare_weights(costs)
+    goal = jnp.asarray([6.0, 6.0, 0.0])
+    res = planner.plan_one(W, jnp.asarray([1.0, 1.0, 0.0]), goal)
+
+    ctrl = MeshController(m, ControllerConfig(max_lin_velocity=1.0, max_ang_velocity=2.0))
+    st = initial_state(goal, jnp.asarray([1.0, 1.0, 0.0]))
+    traj, cmds, st = ctrl.rollout(
+        res.vector_map, costs,
+        jnp.asarray([1.0, 1.0, 0.0]), _quat_yaw(np.pi / 4), st,
+        num_steps=256, dt=0.05,
+    )
+    d_start = float(jnp.linalg.norm(jnp.asarray([1.0, 1.0, 0.0]) - goal))
+    d_end = float(jnp.linalg.norm(traj[-1] - goal))
+    assert d_end < 0.6, (d_start, d_end)
+
+
+def test_goal_reached_check(grid_mesh_small):
+    m = grid_mesh_small
+    ctrl = MeshController(m)
+    goal = jnp.asarray([5.0, 5.0, 0.0])
+    st = initial_state(goal, jnp.asarray([1.0, 0, 0]))
+    near = ctrl.is_goal_reached(jnp.asarray([5.05, 5.0, 0.0]), _quat_yaw(0.0), st, 0.2, 0.5)
+    far = ctrl.is_goal_reached(jnp.asarray([3.0, 5.0, 0.0]), _quat_yaw(0.0), st, 0.2, 0.5)
+    assert bool(near) and not bool(far)
+
+
+def test_batched_controller(grid_mesh_small):
+    m = grid_mesh_small
+    costs = jnp.zeros(m.num_vertices, jnp.float32)
+    planner = DijkstraPlanner(m, max_path_len=32)
+    W = planner.prepare_weights(costs)
+    goal = jnp.asarray([7.0, 7.0, 0.0])
+    res = planner.plan_one(W, jnp.asarray([0.0, 0.0, 0.0]), goal)
+    ctrl = MeshController(m)
+    B = 16
+    poss = jnp.stack([jnp.asarray([0.5 + 0.3 * i, 1.0, 0.0]) for i in range(B)])
+    quats = jnp.tile(_quat_yaw(np.pi / 4)[None], (B, 1))
+    sts = jax.vmap(lambda _: initial_state(goal, jnp.asarray([1.0, 1.0, 0.0])))(jnp.arange(B))
+    cmds, _ = jax.vmap(
+        lambda p, q, s: ctrl.compute_velocity(res.vector_map, costs, p, q, s)
+    )(poss, quats, sts)
+    assert cmds.linear.shape == (B,)
+    assert (np.asarray(cmds.outcome) == Outcome.SUCCESS).all()
