@@ -1,0 +1,197 @@
+"""MeshNav navigation facade — the action-server surface, TPU-side.
+
+Capability parity with mbf_mesh_nav's MeshNavigationServer (SURVEY.md §2.1
+C17): construct one shared map (mesh + layer DAG + combined costs + edge
+weights), load the configured planner/controller "plugins", and expose the
+GetPath / ExePath / Recovery verbs:
+
+  get_path(start, goal)                  -> PlanResult        (GetPath)
+  exe_path_step(pose, quat, state)       -> (cmd, state)      (ExePath cycle)
+  is_goal_reached(pose, quat, state, .)  -> bool
+  recovery(name)                         -> Outcome           (Recovery)
+  clear_mesh()                           -> reset dynamic layers
+  save_map(path)                         -> persist layer channels
+
+The ROS action protocol, executors and DDS topics are out of scope by design
+(observability is returned data, not topics); per-goal worker threads become
+`vmap` batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mesh_navigation_tpu.api.outcomes import Outcome
+from mesh_navigation_tpu.config import (
+    ControllerConfig, LayerConfig, NavConfig, PlannerConfig,
+)
+from mesh_navigation_tpu.control import MeshController
+from mesh_navigation_tpu.control.controller import ControllerState, initial_state
+from mesh_navigation_tpu.layers import LayerStack
+from mesh_navigation_tpu.mesh import query
+from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.ops import sweeps
+from mesh_navigation_tpu.planners import CVPPlanner, DijkstraPlanner
+from mesh_navigation_tpu.planners.common import PlanResult
+
+
+PLANNER_KINDS = {"dijkstra": DijkstraPlanner, "cvp": CVPPlanner}
+
+
+class MeshNavServer:
+    """One shared map + plugin planners/controllers (C17).
+
+    The reference loads pluginlib classes by name
+    (mesh_navigation_server.cpp:74-124); here `planner_kind` picks from
+    PLANNER_KINDS and new planners register by insertion.
+    """
+
+    def __init__(
+        self,
+        mesh: MeshArrays,
+        config: NavConfig = NavConfig(),
+        *,
+        planner_kind: str = "cvp",
+        max_path_len: int = 1024,
+    ):
+        self.mesh = mesh
+        self.config = config
+        self.grid = query.build_grid(mesh)
+        self.stack = (
+            LayerStack.from_configs(config.layers, config.mesh_map.default_layer or None)
+            if config.layers
+            else None
+        )
+        self.layer_state: dict = self.stack.prepare(mesh) if self.stack else {}
+        self.planner_kind = planner_kind
+        cls = PLANNER_KINDS[planner_kind]
+        self.planner = cls(mesh, config.planner, grid=self.grid, max_path_len=max_path_len)
+        self.controller = MeshController(mesh, config.controller, grid=self.grid)
+        self._refresh_costs()
+
+    # ------------------------------------------------------------------
+    # map / layer plumbing (MeshMap::readMap tail, mesh_map.cpp:434-452)
+    # ------------------------------------------------------------------
+    def _refresh_costs(self) -> None:
+        if self.stack is not None:
+            self.layer_outputs, self.vertex_costs = self.stack.compute(
+                self.mesh, self.layer_state
+            )
+            self.layer_vectors = self.stack.combined_vectors(self.mesh, self.layer_outputs)
+        else:
+            self.layer_outputs = {}
+            self.vertex_costs = jnp.zeros(self.mesh.num_vertices, jnp.float32)
+            self.layer_vectors = jnp.zeros((self.mesh.num_vertices, 3), jnp.float32)
+        factor = self.config.mesh_map.edge_cost_factor
+        self.edge_weights = sweeps.compute_edge_weights(
+            self.mesh, self.vertex_costs, factor
+        )
+        self.slot_weights = sweeps.slot_weights(
+            self.mesh, self.edge_weights, self.vertex_costs,
+            self.config.planner.cost_limit,
+        )
+
+    def update_point_cloud(self, layer_name: str, points: jax.Array) -> None:
+        """Obstacle-layer sensor update -> layer cascade re-evaluation
+        (the §3.5 change path, minus DDS)."""
+        self.layer_state[f"obstacle:{layer_name}:points"] = points
+        self._refresh_costs()
+        self.layer_state.pop(f"obstacle:{layer_name}:points", None)
+
+    # ------------------------------------------------------------------
+    # GetPath
+    # ------------------------------------------------------------------
+    def get_path(self, start: jax.Array, goal: jax.Array) -> PlanResult:
+        if isinstance(self.planner, DijkstraPlanner):
+            return self.planner.plan_one(self.slot_weights, start, goal)
+        return self.planner.plan_one(
+            self.edge_weights, self.vertex_costs, start, goal,
+            layer_vectors=self.layer_vectors,
+        )
+
+    def get_path_batch(self, starts: jax.Array, goals: jax.Array) -> PlanResult:
+        if isinstance(self.planner, DijkstraPlanner):
+            return self.planner.plan_batch(self.slot_weights, starts, goals)
+        return self.planner.plan_batch(self.edge_weights, self.vertex_costs, starts, goals)
+
+    # ------------------------------------------------------------------
+    # ExePath
+    # ------------------------------------------------------------------
+    def set_plan(self, plan: PlanResult) -> ControllerState:
+        """setPlan: record the goal pose, reset tracking
+        (mesh_controller.cpp:179-193). The vector field travels with the
+        PlanResult instead of being copied out of the map."""
+        valid = plan.path_valid
+        last = jnp.maximum(jnp.sum(valid.astype(jnp.int32)) - 1, 0)
+        goal_pos = plan.path_positions[last]
+        from mesh_navigation_tpu.mesh import geometry
+        goal_dir = geometry.direction_from_pose(plan.path_quats[last])
+        return initial_state(goal_pos, goal_dir)
+
+    def exe_path_step(
+        self,
+        plan: PlanResult,
+        position: jax.Array,
+        orientation: jax.Array,
+        state: ControllerState,
+    ):
+        return self.controller.compute_velocity(
+            plan.vector_map, self.vertex_costs, position, orientation, state
+        )
+
+    def is_goal_reached(
+        self, position, orientation, state, dist_tol=0.2, angle_tol=0.5
+    ):
+        return self.controller.is_goal_reached(
+            position, orientation, state, dist_tol, angle_tol
+        )
+
+    # ------------------------------------------------------------------
+    # services (mesh_navigation_server.cpp:303-328)
+    # ------------------------------------------------------------------
+    def check_pose_cost(self, position: jax.Array) -> jax.Array:
+        """The declared-but-TODO service (mesh_navigation_server.cpp:315-323),
+        implemented: combined cost at the surface position (NaN off-map)."""
+        from mesh_navigation_tpu.control import tracking
+
+        fix = tracking.locate(self.mesh, self.grid, position, jnp.int32(-1))
+        cost = tracking.cost_at(self.mesh, self.vertex_costs, fix.face, fix.bary)
+        return jnp.where(fix.found, cost, jnp.nan)
+
+    def check_path_cost(self, positions: jax.Array) -> jax.Array:
+        return jax.vmap(self.check_pose_cost)(positions)
+
+    def clear_mesh(self) -> bool:
+        """clear_mesh service -> resetLayers (mesh_navigation_server.cpp:
+        325-328; the reference's resetLayers is an unimplemented TODO,
+        mesh_map.cpp:1307-1310 — implemented here)."""
+        for key in [k for k in self.layer_state if k.startswith("obstacle:")]:
+            del self.layer_state[key]
+        self._refresh_costs()
+        return True
+
+    def recovery(self, name: str = "clear") -> Outcome:
+        """Recovery behaviors (mbf_mesh_core/mesh_recovery.h:54-93; the
+        reference ships no concrete plugin — 'clear' re-evaluates the layer
+        DAG after dropping dynamic obstacle state)."""
+        if name == "clear":
+            self.clear_mesh()
+            return Outcome.SUCCESS
+        return Outcome.INVALID_PLUGIN
+
+    def save_map(self, path: str) -> bool:
+        """save_map Trigger service (mesh_map.cpp:141-146): persist the mesh
+        bundle + one channel per layer."""
+        from mesh_navigation_tpu.mesh import io
+
+        channels = {
+            name: np.asarray(out.costs) for name, out in self.layer_outputs.items()
+        }
+        channels["vertex_costs"] = np.asarray(self.vertex_costs)
+        io.save_working_file(path, self.mesh, channels)
+        return True
