@@ -1,0 +1,126 @@
+"""Mesh IO round-trips + MeshNavServer facade end-to-end."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mesh_navigation_tpu.api.outcomes import Outcome
+from mesh_navigation_tpu.api.server import MeshNavServer
+from mesh_navigation_tpu.config import LayerConfig, MeshMapConfig, NavConfig, PlannerConfig
+from mesh_navigation_tpu.mesh import build_mesh, io, synthetic
+
+
+def test_obj_roundtrip(tmp_path):
+    v, f = synthetic.grid_mesh(4, 4)
+    p = tmp_path / "m.obj"
+    with open(p, "w") as fh:
+        for x, y, z in v:
+            fh.write(f"v {x} {y} {z}\n")
+        for a, b, c in f:
+            fh.write(f"f {a+1} {b+1} {c+1}\n")
+    v2, f2 = io.load_obj(str(p))
+    np.testing.assert_allclose(v2, v)
+    np.testing.assert_array_equal(f2, f)
+
+
+def test_ply_ascii(tmp_path):
+    v, f = synthetic.single_triangle()
+    p = tmp_path / "m.ply"
+    with open(p, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {len(v)}\n")
+        fh.write("property float x\nproperty float y\nproperty float z\n")
+        fh.write(f"element face {len(f)}\n")
+        fh.write("property list uchar int vertex_indices\nend_header\n")
+        for x, y, z in v:
+            fh.write(f"{x} {y} {z}\n")
+        for a, b, c in f:
+            fh.write(f"3 {a} {b} {c}\n")
+    v2, f2 = io.load_ply(str(p))
+    np.testing.assert_allclose(v2, v)
+    np.testing.assert_array_equal(f2, f)
+
+
+def test_off(tmp_path):
+    v, f = synthetic.grid_mesh(3, 3)
+    p = tmp_path / "m.off"
+    with open(p, "w") as fh:
+        fh.write(f"OFF\n{len(v)} {len(f)} 0\n")
+        for x, y, z in v:
+            fh.write(f"{x} {y} {z}\n")
+        for a, b, c in f:
+            fh.write(f"3 {a} {b} {c}\n")
+    v2, f2 = io.load_off(str(p))
+    np.testing.assert_allclose(v2, v)
+    np.testing.assert_array_equal(f2, f)
+
+
+def test_working_file_roundtrip(tmp_path):
+    if not io.HAVE_H5PY:
+        pytest.skip("h5py unavailable")
+    v, f = synthetic.terrain_mesh(6, 6, hills=1.0, seed=2)
+    m = build_mesh(v, f)
+    wf = str(tmp_path / "work.h5")
+    io.save_working_file(wf, m, channels={"height_diff": np.ones(m.num_vertices)})
+    v2, f2 = io.load_h5_geometry(wf)
+    np.testing.assert_allclose(v2, np.asarray(m.vertices))
+    ch = io.load_channel(wf, "height_diff")
+    np.testing.assert_allclose(ch, 1.0)
+    assert io.load_channel(wf, "missing") is None
+    # read_map prefers the working file
+    m2 = io.read_map("/nonexistent.obj", wf)
+    assert m2.num_vertices == m.num_vertices
+
+
+def _server(mesh, planner_kind):
+    cfg = NavConfig(
+        mesh_map=MeshMapConfig(edge_cost_factor=1.0, default_layer="combine"),
+        planner=PlannerConfig(cost_limit=2.0),
+        layers=(
+            LayerConfig(name="steep", kind="steepness", params=(("threshold", 1.0),)),
+            LayerConfig(name="border", kind="border"),
+            LayerConfig(name="combine", kind="max_combination", inputs=("steep", "border")),
+        ),
+    )
+    return MeshNavServer(mesh, cfg, planner_kind=planner_kind, max_path_len=64)
+
+
+@pytest.mark.parametrize("kind", ["dijkstra", "cvp"])
+def test_server_get_path(grid_mesh_small, kind):
+    srv = _server(grid_mesh_small, kind)
+    res = srv.get_path(jnp.asarray([1.0, 1.0, 0.0]), jnp.asarray([6.0, 6.0, 0.0]))
+    assert int(res.outcome) == Outcome.SUCCESS
+    assert float(res.cost) < 12.0
+
+
+def test_server_control_cycle(grid_mesh_small):
+    srv = _server(grid_mesh_small, "dijkstra")
+    res = srv.get_path(jnp.asarray([1.0, 1.0, 0.0]), jnp.asarray([6.0, 6.0, 0.0]))
+    st = srv.set_plan(res)
+    quat = jnp.asarray([0.0, 0.0, np.sin(np.pi / 8), np.cos(np.pi / 8)])
+    cmd, st = srv.exe_path_step(res, jnp.asarray([1.0, 1.0, 0.0]), quat, st)
+    assert int(cmd.outcome) == Outcome.SUCCESS
+    assert not bool(srv.is_goal_reached(jnp.asarray([1.0, 1.0, 0.0]), quat, st))
+
+
+def test_server_pose_cost_and_clear(grid_mesh_small):
+    srv = _server(grid_mesh_small, "dijkstra")
+    c_border = float(srv.check_pose_cost(jnp.asarray([0.0, 3.5, 0.0])))
+    c_inner = float(srv.check_pose_cost(jnp.asarray([3.5, 3.5, 0.0])))
+    assert c_border > 0.4 and c_inner < 0.1
+    off = srv.check_pose_cost(jnp.asarray([20.0, 20.0, 0.0]))
+    assert np.isnan(float(off))
+    assert srv.recovery("clear") == Outcome.SUCCESS
+    assert srv.recovery("nope") == Outcome.INVALID_PLUGIN
+
+
+def test_server_save_map(grid_mesh_small, tmp_path):
+    if not io.HAVE_H5PY:
+        pytest.skip("h5py unavailable")
+    srv = _server(grid_mesh_small, "dijkstra")
+    path = str(tmp_path / "map.h5")
+    assert srv.save_map(path)
+    assert io.load_channel(path, "vertex_costs") is not None
+    assert io.load_channel(path, "border") is not None
