@@ -33,6 +33,14 @@ def radius_neighborhood(mesh: MeshArrays, radius: float) -> tuple[np.ndarray, np
     itself is NOT included (matches the visitor, which starts from the
     neighbors).
     """
+    try:
+        from mesh_navigation_tpu import native as _native
+
+        if _native.available():
+            nm = _native.NativeMesh(np.asarray(mesh.vertices), np.asarray(mesh.faces))
+            return nm.radius_neighborhood(float(radius))
+    except Exception:
+        pass
     pos = np.asarray(mesh.vertices)
     adj = np.asarray(mesh.adj_vertex)
     amask = np.asarray(mesh.adj_mask)

@@ -91,13 +91,15 @@ def build_mesh(
     faces: np.ndarray,
     *,
     fix_nonmanifold: bool = True,
+    use_native: bool | None = None,
 ) -> MeshArrays:
     """Build the full CSR bundle from raw (vertices, faces) on the host.
 
     Mirrors the preprocessing the reference performs at map load
     (mesh_map/src/mesh_map.cpp:149-425): non-manifold repair, normals, edge
-    distances, incidence structure. Runs once in numpy; outputs are device
-    arrays with static shapes.
+    distances, incidence structure. Uses the native C++ core
+    (native/meshcore.cpp) when available — required for 1M+ vertex meshes —
+    with a pure-numpy fallback. Outputs are device arrays with static shapes.
     """
     vertices = np.asarray(vertices, dtype=np.float32)
     faces = np.asarray(faces, dtype=np.int32)
@@ -105,6 +107,18 @@ def build_mesh(
         raise ValueError(f"vertices must be [V,3], got {vertices.shape}")
     if faces.ndim != 2 or faces.shape[1] != 3:
         raise ValueError(f"faces must be [F,3], got {faces.shape}")
+
+    if use_native is None or use_native:
+        try:
+            from mesh_navigation_tpu import native as _native
+
+            if _native.available():
+                return _build_mesh_native(vertices, faces)
+            if use_native:
+                raise RuntimeError("native meshcore unavailable")
+        except Exception:
+            if use_native:
+                raise
 
     V = len(vertices)
     invalid = np.zeros(V, dtype=bool)
@@ -252,4 +266,91 @@ def build_mesh(
         face_neighbors_mask=as_j(face_neighbors_mask),
         boundary_vertex=as_j(boundary_vertex),
         invalid=as_j(invalid),
+    )
+
+
+def _compute_normals(
+    vertices: np.ndarray, faces: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cross-product face normals + area-weighted vertex normals (vectorized)."""
+    V, F = len(vertices), len(faces)
+    if not F:
+        return (
+            np.zeros((0, 3), np.float32),
+            np.tile(np.array([0, 0, 1], np.float32), (V, 1)),
+        )
+    p0, p1, p2 = vertices[faces[:, 0]], vertices[faces[:, 1]], vertices[faces[:, 2]]
+    cross = np.cross(p1 - p0, p2 - p0)
+    norm = np.linalg.norm(cross, axis=1, keepdims=True)
+    face_normals = (cross / np.maximum(norm, 1e-12)).astype(np.float32)
+    vertex_normals = np.zeros((V, 3), dtype=np.float64)
+    for k in range(3):
+        np.add.at(vertex_normals, faces[:, k], cross)
+    vn = np.linalg.norm(vertex_normals, axis=1, keepdims=True)
+    fallback = np.tile(np.array([0.0, 0.0, 1.0]), (V, 1))
+    vertex_normals = np.where(vn > 1e-12, vertex_normals / np.maximum(vn, 1e-12), fallback)
+    return face_normals, vertex_normals.astype(np.float32)
+
+
+def _face_neighbors_from_edges(
+    face_edges: np.ndarray, num_edges: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized face adjacency across shared edges."""
+    F = len(face_edges)
+    face_neighbors = np.tile(np.arange(F, dtype=np.int32)[:, None], (1, 3))
+    face_neighbors_mask = np.zeros((F, 3), dtype=bool)
+    if not F:
+        return face_neighbors, face_neighbors_mask
+    flat_e = face_edges.ravel()
+    flat_f = np.repeat(np.arange(F, dtype=np.int64), 3)
+    order = np.argsort(flat_e, kind="stable")
+    fe, ff = flat_e[order], flat_f[order]
+    starts = np.searchsorted(fe, np.arange(num_edges + 1))
+    cnt = np.diff(starts)
+    first = np.full(num_edges, -1, np.int64)
+    second = np.full(num_edges, -1, np.int64)
+    has1 = cnt > 0
+    has2 = cnt > 1
+    first[has1] = ff[starts[:-1][has1]]
+    second[has2] = ff[starts[:-1][has2] + 1]
+    fidx = np.arange(F)
+    for k in range(3):
+        e = face_edges[:, k]
+        a, b = first[e], second[e]
+        other = np.where(a == fidx, b, a)
+        ok = other >= 0
+        face_neighbors[:, k] = np.where(ok, other, fidx).astype(np.int32)
+        face_neighbors_mask[:, k] = ok
+    return face_neighbors, face_neighbors_mask
+
+
+def _build_mesh_native(vertices: np.ndarray, faces: np.ndarray) -> MeshArrays:
+    """CSR construction through the C++ meshcore (native/meshcore.cpp)."""
+    from mesh_navigation_tpu.native import NativeMesh
+
+    nm = NativeMesh(vertices, faces)
+    t = nm.tables()
+    face_normals, vertex_normals = _compute_normals(vertices, t["faces"])
+    face_neighbors, face_neighbors_mask = _face_neighbors_from_edges(
+        t["face_edges"], nm.E
+    )
+    as_j = jnp.asarray
+    return MeshArrays(
+        vertices=as_j(vertices),
+        faces=as_j(t["faces"]),
+        edges=as_j(t["edges"]),
+        edge_dist=as_j(t["edge_dist"]),
+        face_normals=as_j(face_normals),
+        vertex_normals=as_j(vertex_normals),
+        adj_vertex=as_j(t["adj_vertex"]),
+        adj_edge=as_j(t["adj_edge"]),
+        adj_mask=as_j(t["adj_mask"].astype(bool)),
+        vertex_faces=as_j(t["vf_face"]),
+        vertex_face_corner=as_j(t["vf_corner"]),
+        vertex_faces_mask=as_j(t["vf_mask"].astype(bool)),
+        face_edges=as_j(t["face_edges"]),
+        face_neighbors=as_j(face_neighbors),
+        face_neighbors_mask=as_j(face_neighbors_mask),
+        boundary_vertex=as_j(t["boundary"].astype(bool)),
+        invalid=as_j(t["invalid"].astype(bool)),
     )

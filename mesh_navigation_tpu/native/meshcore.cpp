@@ -1,0 +1,298 @@
+// meshcore — native host core for mesh preprocessing and CPU baselines.
+//
+// TPU-native replacement for the host-side work the reference delegates to
+// lvr2's C++ (PMPMesh construction, incidence tables, neighborhood visitors —
+// SURVEY.md §2.2) plus a heap Dijkstra that serves as the C++ latency
+// baseline the reference never published (SURVEY.md §6). Exposed through a
+// plain C ABI consumed via ctypes (no pybind11 in the image).
+//
+// Build: g++ -O3 -march=native -shared -fPIC meshcore.cpp -o libmeshcore.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <queue>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct MeshCore {
+  int32_t V = 0, F = 0, E = 0;
+  std::vector<int32_t> faces;        // [F*3]
+  std::vector<float> vertices;       // [V*3]
+  std::vector<int32_t> edges;        // [E*2] lo<hi
+  std::vector<float> edge_dist;      // [E]
+  std::vector<int32_t> face_edges;   // [F*3] edge opposite corner k
+  std::vector<int32_t> edge_face_count;  // [E]
+  // CSR vertex->(neighbor, edge)
+  std::vector<int32_t> adj_offsets;  // [V+1]
+  std::vector<int32_t> adj_vertex;   // [nnz]
+  std::vector<int32_t> adj_edge;     // [nnz]
+  // CSR vertex->(face, corner)
+  std::vector<int32_t> vf_offsets;   // [V+1]
+  std::vector<int32_t> vf_face;      // [nnz]
+  std::vector<int32_t> vf_corner;    // [nnz]
+  std::vector<uint8_t> boundary;     // [V]
+  std::vector<uint8_t> invalid;      // [V]
+};
+
+inline uint64_t ekey(int32_t a, int32_t b) {
+  if (a > b) std::swap(a, b);
+  return (uint64_t(uint32_t(a)) << 32) | uint32_t(b);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build the full incidence structure. Degenerate faces (repeated vertex ids)
+// are dropped, mirroring the reference's load-time repair
+// (mesh_map.cpp:276-300). Returns an opaque handle.
+void* meshcore_build(int32_t V, int32_t F_in, const float* vertices,
+                     const int32_t* faces_in) {
+  auto* mc = new MeshCore();
+  mc->V = V;
+  mc->vertices.assign(vertices, vertices + size_t(V) * 3);
+
+  mc->faces.reserve(size_t(F_in) * 3);
+  for (int32_t f = 0; f < F_in; ++f) {
+    int32_t a = faces_in[f * 3], b = faces_in[f * 3 + 1], c = faces_in[f * 3 + 2];
+    if (a == b || b == c || a == c) continue;
+    mc->faces.push_back(a);
+    mc->faces.push_back(b);
+    mc->faces.push_back(c);
+  }
+  mc->F = int32_t(mc->faces.size() / 3);
+
+  std::unordered_map<uint64_t, int32_t> edge_ids;
+  edge_ids.reserve(size_t(mc->F) * 2);
+  mc->face_edges.resize(size_t(mc->F) * 3);
+  auto get_edge = [&](int32_t a, int32_t b) -> int32_t {
+    uint64_t k = ekey(a, b);
+    auto it = edge_ids.find(k);
+    if (it != edge_ids.end()) return it->second;
+    int32_t id = int32_t(mc->edges.size() / 2);
+    edge_ids.emplace(k, id);
+    int32_t lo = std::min(a, b), hi = std::max(a, b);
+    mc->edges.push_back(lo);
+    mc->edges.push_back(hi);
+    return id;
+  };
+  for (int32_t f = 0; f < mc->F; ++f) {
+    int32_t a = mc->faces[f * 3], b = mc->faces[f * 3 + 1], c = mc->faces[f * 3 + 2];
+    // face_edges[f,k] = edge between corners k+1, k+2 (opposite corner k)
+    mc->face_edges[f * 3 + 0] = get_edge(b, c);
+    mc->face_edges[f * 3 + 1] = get_edge(c, a);
+    mc->face_edges[f * 3 + 2] = get_edge(a, b);
+  }
+  mc->E = int32_t(mc->edges.size() / 2);
+
+  mc->edge_dist.resize(mc->E);
+  for (int32_t e = 0; e < mc->E; ++e) {
+    const float* p = &mc->vertices[size_t(mc->edges[e * 2]) * 3];
+    const float* q = &mc->vertices[size_t(mc->edges[e * 2 + 1]) * 3];
+    float dx = p[0] - q[0], dy = p[1] - q[1], dz = p[2] - q[2];
+    mc->edge_dist[e] = std::sqrt(dx * dx + dy * dy + dz * dz);
+  }
+
+  mc->edge_face_count.assign(mc->E, 0);
+  for (size_t i = 0; i < mc->face_edges.size(); ++i)
+    mc->edge_face_count[mc->face_edges[i]]++;
+
+  mc->boundary.assign(V, 0);
+  mc->invalid.assign(V, 0);
+  for (int32_t e = 0; e < mc->E; ++e) {
+    if (mc->edge_face_count[e] == 1) {
+      mc->boundary[mc->edges[e * 2]] = 1;
+      mc->boundary[mc->edges[e * 2 + 1]] = 1;
+    } else if (mc->edge_face_count[e] > 2) {
+      mc->invalid[mc->edges[e * 2]] = 1;   // non-manifold edge
+      mc->invalid[mc->edges[e * 2 + 1]] = 1;
+    }
+  }
+
+  // vertex -> (neighbor, edge) CSR via counting sort
+  mc->adj_offsets.assign(V + 1, 0);
+  for (int32_t e = 0; e < mc->E; ++e) {
+    mc->adj_offsets[mc->edges[e * 2] + 1]++;
+    mc->adj_offsets[mc->edges[e * 2 + 1] + 1]++;
+  }
+  for (int32_t v = 0; v < V; ++v) mc->adj_offsets[v + 1] += mc->adj_offsets[v];
+  mc->adj_vertex.resize(size_t(mc->E) * 2);
+  mc->adj_edge.resize(size_t(mc->E) * 2);
+  {
+    std::vector<int32_t> cur(mc->adj_offsets.begin(), mc->adj_offsets.end() - 1);
+    for (int32_t e = 0; e < mc->E; ++e) {
+      int32_t a = mc->edges[e * 2], b = mc->edges[e * 2 + 1];
+      mc->adj_vertex[cur[a]] = b;
+      mc->adj_edge[cur[a]++] = e;
+      mc->adj_vertex[cur[b]] = a;
+      mc->adj_edge[cur[b]++] = e;
+    }
+  }
+
+  // vertex -> (face, corner) CSR
+  mc->vf_offsets.assign(V + 1, 0);
+  for (size_t i = 0; i < mc->faces.size(); ++i) mc->vf_offsets[mc->faces[i] + 1]++;
+  for (int32_t v = 0; v < V; ++v) mc->vf_offsets[v + 1] += mc->vf_offsets[v];
+  mc->vf_face.resize(mc->faces.size());
+  mc->vf_corner.resize(mc->faces.size());
+  {
+    std::vector<int32_t> cur(mc->vf_offsets.begin(), mc->vf_offsets.end() - 1);
+    for (int32_t f = 0; f < mc->F; ++f)
+      for (int32_t k = 0; k < 3; ++k) {
+        int32_t v = mc->faces[f * 3 + k];
+        mc->vf_face[cur[v]] = f;
+        mc->vf_corner[cur[v]++] = k;
+      }
+  }
+  return mc;
+}
+
+void meshcore_free(void* h) { delete static_cast<MeshCore*>(h); }
+
+int32_t meshcore_num_faces(void* h) { return static_cast<MeshCore*>(h)->F; }
+int32_t meshcore_num_edges(void* h) { return static_cast<MeshCore*>(h)->E; }
+
+int32_t meshcore_max_degree(void* h) {
+  auto* mc = static_cast<MeshCore*>(h);
+  int32_t m = 1;
+  for (int32_t v = 0; v < mc->V; ++v)
+    m = std::max(m, mc->adj_offsets[v + 1] - mc->adj_offsets[v]);
+  return m;
+}
+
+int32_t meshcore_max_vertex_faces(void* h) {
+  auto* mc = static_cast<MeshCore*>(h);
+  int32_t m = 1;
+  for (int32_t v = 0; v < mc->V; ++v)
+    m = std::max(m, mc->vf_offsets[v + 1] - mc->vf_offsets[v]);
+  return m;
+}
+
+// Fill the padded tables (shapes dictated by the maxima above). Padding:
+// adj_vertex pads with the vertex's own id, faces/edges pad with 0.
+void meshcore_fill(void* h,
+                   int32_t* faces_out,        // [F*3]
+                   int32_t* edges_out,        // [E*2]
+                   float* edge_dist_out,      // [E]
+                   int32_t* face_edges_out,   // [F*3]
+                   int32_t D,
+                   int32_t* adj_vertex_out,   // [V*D]
+                   int32_t* adj_edge_out,     // [V*D]
+                   uint8_t* adj_mask_out,     // [V*D]
+                   int32_t FD,
+                   int32_t* vf_face_out,      // [V*FD]
+                   int32_t* vf_corner_out,    // [V*FD]
+                   uint8_t* vf_mask_out,      // [V*FD]
+                   uint8_t* boundary_out,     // [V]
+                   uint8_t* invalid_out) {    // [V]
+  auto* mc = static_cast<MeshCore*>(h);
+  std::memcpy(faces_out, mc->faces.data(), mc->faces.size() * 4);
+  std::memcpy(edges_out, mc->edges.data(), mc->edges.size() * 4);
+  std::memcpy(edge_dist_out, mc->edge_dist.data(), mc->edge_dist.size() * 4);
+  std::memcpy(face_edges_out, mc->face_edges.data(), mc->face_edges.size() * 4);
+  std::memcpy(boundary_out, mc->boundary.data(), mc->boundary.size());
+  std::memcpy(invalid_out, mc->invalid.data(), mc->invalid.size());
+  for (int32_t v = 0; v < mc->V; ++v) {
+    int32_t deg = mc->adj_offsets[v + 1] - mc->adj_offsets[v];
+    for (int32_t j = 0; j < D; ++j) {
+      bool ok = j < deg;
+      adj_vertex_out[size_t(v) * D + j] = ok ? mc->adj_vertex[mc->adj_offsets[v] + j] : v;
+      adj_edge_out[size_t(v) * D + j] = ok ? mc->adj_edge[mc->adj_offsets[v] + j] : 0;
+      adj_mask_out[size_t(v) * D + j] = ok;
+    }
+    int32_t nvf = mc->vf_offsets[v + 1] - mc->vf_offsets[v];
+    for (int32_t j = 0; j < FD; ++j) {
+      bool ok = j < nvf;
+      vf_face_out[size_t(v) * FD + j] = ok ? mc->vf_face[mc->vf_offsets[v] + j] : 0;
+      vf_corner_out[size_t(v) * FD + j] = ok ? mc->vf_corner[mc->vf_offsets[v] + j] : 0;
+      vf_mask_out[size_t(v) * FD + j] = ok;
+    }
+  }
+}
+
+// Radius-bounded BFS neighborhoods (lvr2::visitLocalVertexNeighborhood
+// semantics, ridge_layer.cpp:155-184): per vertex, all vertices reachable
+// along edges whose Euclidean distance from the center is <= radius.
+// Two-pass: pass 0 (neigh == nullptr) returns max row length; pass 1 fills.
+int32_t meshcore_radius_neighborhood(void* h, float radius, int32_t K,
+                                     int32_t* neigh,     // [V*K] or nullptr
+                                     uint8_t* mask) {    // [V*K] or nullptr
+  auto* mc = static_cast<MeshCore*>(h);
+  const float r2 = radius * radius;
+  int32_t maxlen = 1;
+  std::vector<int32_t> stamp(mc->V, -1);
+  std::vector<int32_t> queue;
+  std::vector<int32_t> out;
+  for (int32_t v = 0; v < mc->V; ++v) {
+    const float* pv = &mc->vertices[size_t(v) * 3];
+    queue.clear();
+    out.clear();
+    stamp[v] = v;
+    for (int32_t j = mc->adj_offsets[v]; j < mc->adj_offsets[v + 1]; ++j) {
+      int32_t u = mc->adj_vertex[j];
+      if (stamp[u] != v) { stamp[u] = v; queue.push_back(u); }
+    }
+    for (size_t qi = 0; qi < queue.size(); ++qi) {
+      int32_t u = queue[qi];
+      const float* pu = &mc->vertices[size_t(u) * 3];
+      float dx = pu[0] - pv[0], dy = pu[1] - pv[1], dz = pu[2] - pv[2];
+      if (dx * dx + dy * dy + dz * dz > r2) continue;
+      out.push_back(u);
+      for (int32_t j = mc->adj_offsets[u]; j < mc->adj_offsets[u + 1]; ++j) {
+        int32_t w = mc->adj_vertex[j];
+        if (stamp[w] != v) { stamp[w] = v; queue.push_back(w); }
+      }
+    }
+    maxlen = std::max(maxlen, int32_t(out.size()));
+    if (neigh != nullptr) {
+      for (int32_t j = 0; j < K; ++j) {
+        bool ok = j < int32_t(out.size());
+        neigh[size_t(v) * K + j] = ok ? out[j] : v;
+        mask[size_t(v) * K + j] = ok;
+      }
+    }
+  }
+  return maxlen;
+}
+
+// Heap Dijkstra with the reference's popped-vertex cost skip
+// (dijkstra_mesh_planner.cpp:287-348) — the CPU latency/correctness baseline.
+void meshcore_dijkstra(void* h, const float* edge_weights,
+                       const float* vertex_costs, float cost_limit,
+                       int32_t seed, float* dist_out, int32_t* pred_out) {
+  auto* mc = static_cast<MeshCore*>(h);
+  const float inf = std::numeric_limits<float>::infinity();
+  std::vector<uint8_t> fixed(mc->V, 0);
+  for (int32_t v = 0; v < mc->V; ++v) {
+    dist_out[v] = inf;
+    pred_out[v] = v;
+  }
+  dist_out[seed] = 0.f;
+  using QE = std::pair<float, int32_t>;
+  std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+  pq.push({0.f, seed});
+  while (!pq.empty()) {
+    auto [d, v] = pq.top();
+    pq.pop();
+    if (fixed[v]) continue;
+    fixed[v] = 1;
+    if (vertex_costs[v] > cost_limit) continue;
+    for (int32_t j = mc->adj_offsets[v]; j < mc->adj_offsets[v + 1]; ++j) {
+      int32_t u = mc->adj_vertex[j];
+      if (fixed[u]) continue;
+      float nd = d + edge_weights[mc->adj_edge[j]];
+      if (nd < dist_out[u]) {
+        dist_out[u] = nd;
+        pred_out[u] = v;
+        pq.push({nd, u});
+      }
+    }
+  }
+}
+
+}  // extern "C"
