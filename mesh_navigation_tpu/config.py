@@ -38,6 +38,8 @@ class PlannerConfig:
     # Sweep-solver controls (new; no reference analog):
     max_sweeps: int = 0                 # 0 = auto (based on mesh size)
     block_sweeps: int = 8               # relaxations fused per convergence check
+    method: str = "ordered"             # "ordered" (fast-sweeping GS) | "jacobi"
+    sweep_directions: int = 8           # FSM orderings for method="ordered"
 
 
 @dataclasses.dataclass(frozen=True)

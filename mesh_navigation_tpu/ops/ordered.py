@@ -7,11 +7,13 @@ order* lets a label cross the entire mesh in a single pass; alternating a
 handful of signed coordinate orderings covers all characteristic directions,
 converging in a few rounds instead of hundreds.
 
-TPU mapping: each ordering is a static permutation, processed as a
-`lax.scan` over fixed-size chunks. Chunks update through the *live* distance
-vector (Gauss-Seidel across chunks, Jacobi inside a chunk), so the pass is a
-chain of [B, C, D] gathers + row-mins + scatters — all static shapes. The
-orderings are seed-independent and precomputed once per mesh.
+TPU mapping: vertices are sorted along each signed coordinate key and cut
+into *level chunks* of ~one geometric row each. A pass is a `lax.scan` over
+chunks that relaxes each chunk against the live distance matrix —
+Gauss-Seidel across chunks, Jacobi inside one (n_inner repeats cover
+multi-row chunks). Distances live in [V, B] layout so every gather moves
+contiguous 128-wide batch rows (lane-friendly), and the scenario batch rides
+the minor axis for free.
 """
 
 from __future__ import annotations
@@ -28,13 +30,9 @@ INF = jnp.inf
 
 
 class SweepPlan(NamedTuple):
-    """Static ordering data for ordered passes.
-
-    chunks: [n_dir, n_chunks, C] int32 vertex ids — each row of `chunks[d]`
-    is one Gauss-Seidel chunk, rows in monotone order of the direction key.
-    Padding rows point at vertex V (a dummy slot appended to dist).
-    """
-    chunks: jax.Array
+    """Static ordering data: chunks[d] rows are level chunks of direction d,
+    in monotone key order. Padding entries point at the dummy vertex V."""
+    chunks: jax.Array        # [n_dir, n_chunks, C] i32
     num_vertices: int
 
     @property
@@ -45,13 +43,16 @@ class SweepPlan(NamedTuple):
 def build_sweep_plan(
     mesh: MeshArrays,
     *,
-    chunk: int = 1024,
-    directions: int = 8,
+    chunk: int = 0,
+    directions: int = 4,
 ) -> SweepPlan:
-    """Host-side: sort vertices along `directions` signed coordinate keys
-    (the FSM ordering family ±x±y±z)."""
+    """Host-side: sort vertices along signed coordinate keys (the FSM
+    ordering family). `chunk` defaults to ~sqrt(V) rounded to the VPU lane
+    width — about one geometric row per chunk."""
     pos = np.asarray(mesh.vertices)
     V = len(pos)
+    if chunk <= 0:
+        chunk = max(64, int(8 * round(np.sqrt(V) / 8)))
     signs_all = [
         (1, 1, 1), (-1, -1, -1), (1, -1, 1), (-1, 1, -1),
         (1, 1, -1), (-1, -1, 1), (1, -1, -1), (-1, 1, 1),
@@ -80,42 +81,43 @@ def batched_field_ordered(
     seeds: jax.Array,          # [B] i32
     *,
     max_rounds: int = 64,
-    jacobi_tail: int = 2,
+    n_inner: int = 1,
 ) -> OrderedFieldResult:
     """Batched SSSP via ordered GS passes; converges to the same fixed point
-    as ops.sweeps.shortest_path_field (= heap Dijkstra), typically in 2-4
-    rounds of `n_dir` directional passes.
+    as ops.sweeps.shortest_path_field (= heap Dijkstra).
 
-    Predecessors are recovered with `jacobi_tail` full Jacobi sweeps after
-    convergence (arg-min over neighbour slots against the converged field) —
-    cheaper than carrying argmins through every chunk.
+    Predecessors are recovered after convergence by one arg-min relaxation
+    against the converged field — cheaper than carrying argmins per chunk.
     """
     V, D = weights_vd.shape
     B = seeds.shape[0]
     adj = mesh.adj_vertex
 
-    # dummy slot V: gathers of padded chunk rows land here harmlessly
+    # dummy slot V: padded chunk rows gather/scatter here harmlessly
     adj_x = jnp.concatenate([adj, jnp.full((1, D), V - 1, adj.dtype)])
     w_x = jnp.concatenate([weights_vd, jnp.full((1, D), INF, weights_vd.dtype)])
 
     dist0 = jnp.where(
-        jnp.arange(V + 1, dtype=jnp.int32)[None, :] == seeds[:, None], 0.0, INF
-    ).astype(jnp.float32)                                      # [B, V+1]
+        jnp.arange(V + 1, dtype=jnp.int32)[:, None] == seeds[None, :], 0.0, INF
+    ).astype(jnp.float32)                                      # [V+1, B]
 
-    def one_pass(dist, chunks_d):
-        def chunk_body(d, rows):
-            a = adj_x[rows]                    # [C, D]
-            w = w_x[rows]
-            cand = jnp.min(d[:, a] + w[None], axis=-1)          # [B, C]
-            cur = d[:, rows]
-            return d.at[:, rows].set(jnp.minimum(cur, cand)), None
+    def chunk_update(d, rows):
+        a = adj_x[rows]                        # [C, D]
+        w = w_x[rows][..., None]               # [C, D, 1]
+        cand = jnp.min(d[a] + w, axis=1)       # [C, B]
+        return d.at[rows].set(jnp.minimum(d[rows], cand))
 
-        dist, _ = jax.lax.scan(chunk_body, dist, chunks_d)
-        return dist
+    def chunk_body(d, rows):
+        if n_inner == 1:
+            return chunk_update(d, rows), None
+        return jax.lax.fori_loop(
+            0, n_inner, lambda _, dd: chunk_update(dd, rows), d
+        ), None
 
     def one_round(dist):
         def dir_body(d, chunks_d):
-            return one_pass(d, chunks_d), None
+            d, _ = jax.lax.scan(chunk_body, d, chunks_d)
+            return d, None
         dist, _ = jax.lax.scan(dir_body, dist, plan.chunks)
         return dist
 
@@ -131,26 +133,15 @@ def batched_field_ordered(
     dist, rounds, changed = jax.lax.while_loop(
         cond, body, (one_round(dist0), jnp.int32(1), jnp.bool_(True))
     )
-    dist_v = dist[:, :V]
+    dist_v = dist[:V]                                          # [V, B]
 
     # predecessor recovery: pred[v] = neighbour u minimizing dist[u] + w(u,v)
     vidx = jnp.arange(V, dtype=jnp.int32)
-
-    def pred_of(d):
-        cand = d[adj] + weights_vd
-        arg = jnp.argmin(cand, axis=1)
-        best = jnp.min(cand, axis=1)
-        has = (best <= d + 1e-6) & (d > 0) & jnp.isfinite(d)
-        return jnp.where(has, adj[vidx, arg], vidx)
-
-    pred = jax.vmap(pred_of)(dist_v)
-    # a couple of Jacobi polish sweeps guard against chunk-internal ties
-    for _ in range(jacobi_tail):
-        def polish(d):
-            cand = jnp.min(d[adj] + weights_vd, axis=1)
-            return jnp.minimum(d, cand)
-        new = jax.vmap(polish)(dist_v)
-        dist_v = new
+    cand = dist_v[adj] + weights_vd[..., None]                 # [V, D, B]
+    arg = jnp.argmin(cand, axis=1)                             # [V, B]
+    best = jnp.min(cand, axis=1)
+    has = (best <= dist_v + 1e-6) & (dist_v > 0) & jnp.isfinite(dist_v)
+    pred = jnp.where(has, adj[vidx[:, None], arg], vidx[:, None])
     return OrderedFieldResult(
-        dist=dist_v, pred=pred, rounds=rounds, converged=~changed
+        dist=dist_v.T, pred=pred.T, rounds=rounds, converged=~changed
     )

@@ -41,6 +41,14 @@ class DijkstraPlanner:
         self.grid = grid if grid is not None else query.build_grid(mesh)
         self.max_path_len = max_path_len
         self._cancel = False
+        if config.method == "ordered":
+            from mesh_navigation_tpu.ops import ordered as _ordered
+
+            self.sweep_plan = _ordered.build_sweep_plan(
+                mesh, directions=config.sweep_directions
+            )
+        else:
+            self.sweep_plan = None
 
     # -- MeshPlanner::cancel (cooperative; honored between jit dispatches) ---
     def cancel(self) -> bool:
@@ -104,5 +112,41 @@ class DijkstraPlanner:
     ) -> PlanResult:
         """Thousands of start/goal scenarios per step (BASELINE.json
         configs[1]/[3]) — the batch axis the reference's one-goal action loop
-        never had."""
-        return jax.vmap(lambda s, g: self.plan_one(weights_vd, s, g))(starts, goals)
+        never had. With method="ordered" the whole batch shares one
+        fast-sweeping solve (ops/ordered.py) instead of per-scenario
+        while_loops."""
+        if self.sweep_plan is None:
+            return jax.vmap(lambda s, g: self.plan_one(weights_vd, s, g))(starts, goals)
+
+        from mesh_navigation_tpu.ops import ordered as _ordered
+
+        mesh = self.mesh
+        start_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(starts)
+        goal_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(goals)
+        field = _ordered.batched_field_ordered(
+            mesh, weights_vd, self.sweep_plan, goal_v,
+            max_rounds=max(8, self.config.max_sweeps // self.sweep_plan.n_dir)
+            if self.config.max_sweeps else 64,
+        )
+
+        def finish(dist, pred, sv, gv):
+            vector_map = sweeps.vector_map_from_predecessors(mesh, pred)
+            path, valid = sweeps.extract_path(pred, sv, gv, self.max_path_len)
+            positions = mesh.vertices[path]
+            quats, cost = pose_chain(positions, valid, mesh.vertex_normals[path])
+            reached = jnp.isfinite(dist[sv])
+            outcome = jnp.where(
+                reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND
+            ).astype(jnp.int32)
+            return PlanResult(
+                outcome=outcome,
+                path_positions=positions,
+                path_quats=quats,
+                path_valid=valid & reached,
+                cost=jnp.where(reached, cost, jnp.inf),
+                potential=dist,
+                vector_map=vector_map,
+                pred=pred,
+            )
+
+        return jax.vmap(finish)(field.dist, field.pred, start_v, goal_v)
