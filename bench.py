@@ -5,8 +5,9 @@ is BASELINE.json's north star (>= 4096 batched plan+control solves/s on a
 1M-vertex mesh on one host), so vs_baseline = solves_per_s / 4096.
 
 Scenario (BASELINE.json configs[1]-[3]): steepness-layer costs, combined
-edge weights, B batched start/goal scenarios, full potential-field solve per
-goal + vector map + a batched controller velocity cycle.
+edge weights, B batched start/goal scenarios solved in one [V, B] batched
+fixed-point solve (ops/ordered.batched_field_hybrid) + vector maps + a
+batched controller velocity cycle.
 """
 
 from __future__ import annotations
@@ -24,14 +25,14 @@ import jax.numpy as jnp
 
 def main():
     mesh_n = int(os.environ.get("BENCH_MESH_N", "128"))     # mesh = n*n vertices
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "4"))
 
-    from mesh_navigation_tpu.config import ControllerConfig, PlannerConfig
+    from mesh_navigation_tpu.config import ControllerConfig
     from mesh_navigation_tpu.control import MeshController
     from mesh_navigation_tpu.control.controller import initial_state
     from mesh_navigation_tpu.mesh import build_mesh, query, synthetic
-    from mesh_navigation_tpu.ops import sweeps
+    from mesh_navigation_tpu.ops import ordered, sweeps
 
     t0 = time.time()
     v, f = synthetic.terrain_mesh(
@@ -48,26 +49,28 @@ def main():
     # steepness costs -> edge weights (configs[1] layer stack, trimmed)
     nz = jnp.clip(mesh.vertex_normals[:, 2], -1.0, 1.0)
     costs = jnp.arccos(nz).astype(jnp.float32)
-    cfg = PlannerConfig(cost_limit=2.0, max_sweeps=4 * mesh_n, block_sweeps=16)
-
     ew = sweeps.compute_edge_weights(mesh, costs, 1.0)
-    W = sweeps.slot_weights(mesh, ew, costs, cfg.cost_limit)
+    W = sweeps.slot_weights(mesh, ew, costs, 2.0)
 
+    plan = ordered.SweepPlan(
+        chunks=jnp.zeros((1, 1, 1), jnp.int32), num_vertices=mesh.num_vertices
+    )
     ctrl = MeshController(mesh, ControllerConfig())
 
-    def solve_batch(starts, goals, poses, quats):
-        def one(s, g, p, q):
-            sv, _ = query.nearest_vertex(mesh, grid, s)
-            gv, _ = query.nearest_vertex(mesh, grid, g)
-            field = sweeps.shortest_path_field(
-                mesh, W, gv, max_sweeps=cfg.max_sweeps, block_sweeps=cfg.block_sweeps
-            )
-            vm = sweeps.vector_map_from_predecessors(mesh, field.pred)
-            st = initial_state(g, jnp.asarray([1.0, 0.0, 0.0]))
-            cmd, _ = ctrl.compute_velocity(vm, costs, p, q, st)
-            return field.dist[sv], cmd.linear, cmd.angular
+    def solve_batch(starts, goals, quats):
+        sv = jax.vmap(lambda p: query.nearest_vertex(mesh, grid, p)[0])(starts)
+        gv = jax.vmap(lambda p: query.nearest_vertex(mesh, grid, p)[0])(goals)
+        field = ordered.batched_field_hybrid(
+            mesh, W, plan, gv, ordered_rounds=0, block_sweeps=16
+        )
 
-        return jax.vmap(one)(starts, goals, poses, quats)
+        def finish(dist, pred, s, g, q, svi):
+            vm = sweeps.vector_map_from_predecessors(mesh, pred)
+            st = initial_state(g, jnp.asarray([1.0, 0.0, 0.0]))
+            cmd, _ = ctrl.compute_velocity(vm, costs, s, q, st)
+            return dist[svi], cmd.linear, cmd.angular
+
+        return jax.vmap(finish)(field.dist, field.pred, starts, goals, quats, sv)
 
     solve = jax.jit(solve_batch)
 
@@ -80,7 +83,7 @@ def main():
         s[:, 2] = 0.0
         g[:, 2] = 0.0
         q = np.tile(np.asarray([0, 0, 0, 1], np.float32), (batch, 1))
-        return jnp.asarray(s), jnp.asarray(g), jnp.asarray(s), jnp.asarray(q)
+        return jnp.asarray(s), jnp.asarray(g), jnp.asarray(q)
 
     # warmup / compile
     args = sample(0)

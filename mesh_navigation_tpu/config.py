@@ -38,8 +38,9 @@ class PlannerConfig:
     # Sweep-solver controls (new; no reference analog):
     max_sweeps: int = 0                 # 0 = auto (based on mesh size)
     block_sweeps: int = 8               # relaxations fused per convergence check
-    method: str = "ordered"             # "ordered" (fast-sweeping GS) | "jacobi"
-    sweep_directions: int = 8           # FSM orderings for method="ordered"
+    method: str = "batched"             # "batched" ([V,B] hybrid, default) | "jacobi" (per-scenario vmap)
+    ordered_rounds: int = 0             # FSM pre-rounds in the batched solver
+    sweep_directions: int = 4           # FSM orderings when ordered_rounds > 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -134,6 +134,12 @@ def batched_field_ordered(
         cond, body, (one_round(dist0), jnp.int32(1), jnp.bool_(True))
     )
     dist_v = dist[:V]                                          # [V, B]
+    return _finish(mesh, weights_vd, dist_v, rounds, changed)
+
+
+def _finish(mesh, weights_vd, dist_v, rounds, changed) -> OrderedFieldResult:
+    V, D = weights_vd.shape
+    adj = mesh.adj_vertex
 
     # predecessor recovery: pred[v] = neighbour u minimizing dist[u] + w(u,v)
     vidx = jnp.arange(V, dtype=jnp.int32)
@@ -145,3 +151,70 @@ def batched_field_ordered(
     return OrderedFieldResult(
         dist=dist_v.T, pred=pred.T, rounds=rounds, converged=~changed
     )
+
+
+def batched_field_hybrid(
+    mesh: MeshArrays,
+    weights_vd: jax.Array,
+    plan: SweepPlan,
+    seeds: jax.Array,
+    *,
+    ordered_rounds: int = 2,
+    block_sweeps: int = 16,
+    max_sweeps: int = 0,
+) -> OrderedFieldResult:
+    """Hybrid solve: a fixed number of ordered FSM rounds for bulk label
+    transport, then batched Jacobi sweeps (one full-width relaxation per
+    sweep, far lower per-step overhead than chunk scans) to the exact fixed
+    point. Usually the fastest option on TPU: the ordered rounds cut the
+    O(diameter) Jacobi tail to a short local-repair tail."""
+    V, D = weights_vd.shape
+    B = seeds.shape[0]
+    adj = mesh.adj_vertex
+    if max_sweeps <= 0:
+        max_sweeps = 4 * V
+    n_blocks = -(-max_sweeps // block_sweeps)
+
+    adj_x = jnp.concatenate([adj, jnp.full((1, D), V - 1, adj.dtype)])
+    w_x = jnp.concatenate([weights_vd, jnp.full((1, D), INF, weights_vd.dtype)])
+
+    dist0 = jnp.where(
+        jnp.arange(V + 1, dtype=jnp.int32)[:, None] == seeds[None, :], 0.0, INF
+    ).astype(jnp.float32)
+
+    def chunk_body(d, rows):
+        a = adj_x[rows]
+        w = w_x[rows][..., None]
+        cand = jnp.min(d[a] + w, axis=1)
+        return d.at[rows].set(jnp.minimum(d[rows], cand)), None
+
+    def one_round(dist):
+        def dir_body(d, chunks_d):
+            d, _ = jax.lax.scan(chunk_body, d, chunks_d)
+            return d, None
+        dist, _ = jax.lax.scan(dir_body, dist, plan.chunks)
+        return dist
+
+    dist = dist0
+    for _ in range(ordered_rounds):
+        dist = one_round(dist)
+    dist_v = dist[:V]
+
+    w3 = weights_vd[..., None]
+
+    def jacobi(d):
+        return jnp.minimum(d, jnp.min(d[adj] + w3, axis=1))
+
+    def block(carry):
+        d, it, _ = carry
+        new = jax.lax.fori_loop(0, block_sweeps, lambda _, x: jacobi(x), d)
+        return new, it + block_sweeps, jnp.any(new < d)
+
+    def cond(carry):
+        return carry[2] & (carry[1] < n_blocks * block_sweeps)
+
+    dist_v, sweeps_done, changed = jax.lax.while_loop(
+        cond, block, (jacobi(dist_v), jnp.int32(1), jnp.bool_(True))
+    )
+    rounds = jnp.int32(ordered_rounds) + sweeps_done
+    return _finish(mesh, weights_vd, dist_v, rounds, changed)

@@ -41,11 +41,14 @@ class DijkstraPlanner:
         self.grid = grid if grid is not None else query.build_grid(mesh)
         self.max_path_len = max_path_len
         self._cancel = False
-        if config.method == "ordered":
+        if config.method == "batched":
             from mesh_navigation_tpu.ops import ordered as _ordered
 
             self.sweep_plan = _ordered.build_sweep_plan(
                 mesh, directions=config.sweep_directions
+            ) if config.ordered_rounds > 0 else _ordered.SweepPlan(
+                chunks=jnp.zeros((1, 1, 1), jnp.int32),
+                num_vertices=mesh.num_vertices,
             )
         else:
             self.sweep_plan = None
@@ -123,10 +126,11 @@ class DijkstraPlanner:
         mesh = self.mesh
         start_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(starts)
         goal_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(goals)
-        field = _ordered.batched_field_ordered(
+        field = _ordered.batched_field_hybrid(
             mesh, weights_vd, self.sweep_plan, goal_v,
-            max_rounds=max(8, self.config.max_sweeps // self.sweep_plan.n_dir)
-            if self.config.max_sweeps else 64,
+            ordered_rounds=self.config.ordered_rounds,
+            block_sweeps=max(self.config.block_sweeps, 16),
+            max_sweeps=self.config.max_sweeps,
         )
 
         def finish(dist, pred, sv, gv):

@@ -55,7 +55,7 @@ def test_planner_batch_ordered(grid_mesh_small):
 
     m = grid_mesh_small
     costs = jnp.zeros(m.num_vertices, jnp.float32)
-    p_ord = DijkstraPlanner(m, PlannerConfig(method="ordered"), max_path_len=32)
+    p_ord = DijkstraPlanner(m, PlannerConfig(method="batched", ordered_rounds=2), max_path_len=32)
     p_jac = DijkstraPlanner(m, PlannerConfig(method="jacobi"), max_path_len=32)
     W = p_ord.prepare_weights(costs)
     starts = jnp.asarray([[0.0, 0, 0], [7, 0, 0], [3, 3, 0]])
