@@ -296,6 +296,102 @@ def eikonal_field(
     )
 
 
+class BatchedEikonalResult(NamedTuple):
+    dist: jax.Array           # [B, V]
+    pred: jax.Array           # [B, V]
+    theta: jax.Array          # [B, V]
+    cutting_face: jax.Array   # [B, V]
+    sweeps: jax.Array
+    converged: jax.Array
+
+
+def batched_eikonal_field(
+    mesh: MeshArrays,
+    side_lengths: jax.Array,     # [E]
+    seed_dist: jax.Array,        # [B, V] — inf except seeds
+    *,
+    update: str = "unfolding",
+    target_mask: jax.Array | None = None,   # [V]
+    source_cap: float | jax.Array = jnp.inf,
+    max_sweeps: int = 0,
+    block_sweeps: int = 16,
+) -> BatchedEikonalResult:
+    """Batch-of-scenarios eikonal solve in [V, B] layout: one while_loop for
+    the whole batch (shared convergence), batch riding the 128-lane minor
+    axis — the CVP analog of ordered.batched_field_hybrid. Same per-triangle
+    update math and masks as `eikonal_field`; pred/θ/cutting-face recovered
+    by one candidate pass against the converged field."""
+    V = mesh.num_vertices
+    B = seed_dist.shape[0]
+    if max_sweeps <= 0:
+        max_sweeps = 4 * V
+    n_blocks = -(-max_sweeps // block_sweeps)
+
+    v1t, v2t, v3t, ea, eb, ec = _face_corner_tables(mesh)
+    a_len = side_lengths[ea][..., None]      # [F, 3, 1]
+    b_len = side_lengths[eb][..., None]
+    c_len = side_lengths[ec][..., None]
+    cand_fn = {"unfolding": unfolding_candidates, "sethian": sethian_candidates}[update]
+
+    if target_mask is None:
+        target_mask = ~mesh.invalid
+    else:
+        target_mask = target_mask & ~mesh.invalid
+
+    vf, vc, vf_mask = mesh.vertex_faces, mesh.vertex_face_corner, mesh.vertex_faces_mask
+    seed_vb = seed_dist.T                    # [V, B]
+    is_seed = jnp.isfinite(seed_vb)
+    dist0 = jnp.where(is_seed, seed_vb, INF).astype(jnp.float32)
+
+    def candidate_values(dist_vb):
+        u1 = dist_vb[v1t]                    # [F, 3, B]
+        u2 = dist_vb[v2t]
+        cands = cand_fn(u1, u2, a_len, b_len, c_len)
+        value = jnp.where((u1 <= source_cap) & (u2 <= source_cap), cands.value, INF)
+        return value, cands
+
+    def one_sweep(dist_vb):
+        value, _ = candidate_values(dist_vb)
+        cand_v = jnp.where(vf_mask[..., None], value[vf, vc], INF)   # [V, FD, B]
+        best = jnp.min(cand_v, axis=1)                               # [V, B]
+        best = jnp.where(target_mask[:, None], best, INF)
+        new = jnp.minimum(dist_vb, best)
+        return jnp.where(is_seed, seed_vb, new)
+
+    def block(carry):
+        d, it, _ = carry
+        new = jax.lax.fori_loop(0, block_sweeps, lambda _, x: one_sweep(x), d)
+        return new, it + block_sweeps, jnp.any(new < d)
+
+    def cond(carry):
+        return carry[2] & (carry[1] < n_blocks * block_sweeps)
+
+    dist_vb, sweeps_done, changed = jax.lax.while_loop(
+        cond, block, (one_sweep(dist0), jnp.int32(1), jnp.bool_(True))
+    )
+
+    # winner recovery against the converged field
+    value, cands = candidate_values(dist_vb)
+    cand_v = jnp.where(vf_mask[..., None], value[vf, vc], INF)       # [V, FD, B]
+    arg = jnp.argmin(cand_v, axis=1)                                 # [V, B]
+    best = jnp.min(cand_v, axis=1)
+    vidx = jnp.arange(V, dtype=jnp.int32)
+    win_f = vf[vidx[:, None], arg]                                   # [V, B]
+    win_c = vc[vidx[:, None], arg]
+    has = (best <= dist_vb + 1e-6) & jnp.isfinite(dist_vb) & ~is_seed
+    bidx = jnp.arange(B)[None, :]
+    win_pred = jnp.where(
+        cands.pred_is_v1[win_f, win_c, bidx], v1t[win_f, win_c], v2t[win_f, win_c]
+    )
+    pred = jnp.where(has, win_pred, vidx[:, None])
+    theta = jnp.where(has, cands.theta[win_f, win_c, bidx], 0.0)
+    cface = jnp.where(has, win_f, -1)
+    return BatchedEikonalResult(
+        dist=dist_vb.T, pred=pred.T, theta=theta.T, cutting_face=cface.T,
+        sweeps=sweeps_done, converged=~changed,
+    )
+
+
 def cvp_vector_map(mesh: MeshArrays, result: EikonalResult) -> jax.Array:
     """Per-vertex direction field: (pos[pred] - pos[v]) rotated by θ around
     the vertex normal, normalized — parity with

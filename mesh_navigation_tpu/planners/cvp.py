@@ -92,8 +92,19 @@ class CVPPlanner:
         # seed vertices point straight at the goal (cvp:723 vector_map_ = diff)
         seed_dirs = geometry.normalize(goal - mesh.vertices[g_vids])
         vector_map = vector_map.at[g_vids].set(seed_dirs)
+        return self._backtrack(
+            vector_map, field.dist, field.pred,
+            start, s_face, s_found, goal, g_face, g_found, layer_vectors,
+        )
 
-        # --- vector-field back-tracking from the start (cvp:920-951) -------
+    def _backtrack(
+        self, vector_map, dist, pred,
+        start, s_face, s_found, goal, g_face, g_found, layer_vectors,
+    ) -> PlanResult:
+        """Vector-field back-tracking from the start (cvp:920-951) + pose
+        chain + outcome mapping — shared by plan_one and plan_batch."""
+        mesh = self.mesh
+        cfg = self.config
         step = cfg.step_width
 
         def walk(carry, _):
@@ -143,9 +154,9 @@ class CVPPlanner:
             path_quats=quats,
             path_valid=valid,
             cost=jnp.where(reached, cost, jnp.inf),
-            potential=field.dist,
+            potential=dist,
             vector_map=vector_map,
-            pred=field.pred,
+            pred=pred,
         )
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -156,6 +167,44 @@ class CVPPlanner:
         starts: jax.Array,
         goals: jax.Array,
     ) -> PlanResult:
-        return jax.vmap(
-            lambda s, g: self.plan_one(edge_weights, vertex_costs, s, g)
-        )(starts, goals)
+        """Batched CVP: all scenarios share one [V, B] fixed-point solve
+        (ops/eikonal.batched_eikonal_field), then the vector maps and
+        surface-walk backtracking run under vmap."""
+        mesh = self.mesh
+        cfg = self.config
+
+        def locate_goal(g):
+            g_face, g_bary, _, g_found = query.containing_face(mesh, self.grid, g)
+            g_vids = mesh.faces[jnp.maximum(g_face, 0)]
+            seed_d = jnp.linalg.norm(mesh.vertices[g_vids] - g, axis=-1)
+            seed = jnp.full(mesh.num_vertices, jnp.inf, jnp.float32)
+            seed = seed.at[g_vids].set(seed_d.astype(jnp.float32))
+            return seed, g_face, g_vids, g_found
+
+        seeds, g_faces, g_vids, g_found = jax.vmap(locate_goal)(goals)
+        target_mask = vertex_costs < cfg.cost_limit
+        field = eikonal.batched_eikonal_field(
+            mesh, edge_weights, seeds,
+            update=self.update,
+            target_mask=target_mask,
+            max_sweeps=cfg.max_sweeps,
+            block_sweeps=max(cfg.block_sweeps, 16),
+        )
+
+        def finish(dist, pred, theta, cface, s, g, g_face, gv, gf_ok):
+            res1 = eikonal.EikonalResult(
+                dist=dist, pred=pred, theta=theta, cutting_face=cface,
+                sweeps=field.sweeps, converged=field.converged,
+            )
+            vector_map = eikonal.cvp_vector_map(mesh, res1)
+            seed_dirs = geometry.normalize(g - mesh.vertices[gv])
+            vector_map = vector_map.at[gv].set(seed_dirs)
+            s_face, _, _, s_found = query.containing_face(mesh, self.grid, s)
+            return self._backtrack(
+                vector_map, dist, pred, s, s_face, s_found, g, g_face, gf_ok, None
+            )
+
+        return jax.vmap(finish)(
+            field.dist, field.pred, field.theta, field.cutting_face,
+            starts, goals, g_faces, g_vids, g_found,
+        )
