@@ -162,6 +162,7 @@ def batched_field_hybrid(
     ordered_rounds: int = 2,
     block_sweeps: int = 16,
     max_sweeps: int = 0,
+    init_vb: jax.Array | None = None,
 ) -> OrderedFieldResult:
     """Hybrid solve: a fixed number of ordered FSM rounds for bulk label
     transport, then batched Jacobi sweeps (one full-width relaxation per
@@ -178,9 +179,20 @@ def batched_field_hybrid(
     adj_x = jnp.concatenate([adj, jnp.full((1, D), V - 1, adj.dtype)])
     w_x = jnp.concatenate([weights_vd, jnp.full((1, D), INF, weights_vd.dtype)])
 
-    dist0 = jnp.where(
-        jnp.arange(V + 1, dtype=jnp.int32)[:, None] == seeds[None, :], 0.0, INF
-    ).astype(jnp.float32)
+    if init_vb is not None:
+        # any valid upper bound converges to the same fixed point (e.g. a
+        # landmark warm start, ops/landmarks.py); clamp the seeds to zero
+        dist0 = jnp.minimum(
+            init_vb,
+            jnp.where(
+                jnp.arange(V + 1, dtype=jnp.int32)[:, None] == seeds[None, :],
+                0.0, INF,
+            ),
+        ).astype(jnp.float32)
+    else:
+        dist0 = jnp.where(
+            jnp.arange(V + 1, dtype=jnp.int32)[:, None] == seeds[None, :], 0.0, INF
+        ).astype(jnp.float32)
 
     def chunk_body(d, rows):
         a = adj_x[rows]
