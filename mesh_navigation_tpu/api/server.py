@@ -175,6 +175,70 @@ class MeshNavServer:
         self._refresh_costs()
         return True
 
+    # ------------------------------------------------------------------
+    # live reconfiguration (the add_on_set_parameters_callback surface:
+    # mesh_map.cpp:1362-1400, planner/controller/layer reconfigureCallback)
+    # ------------------------------------------------------------------
+    def set_parameters(self, params: dict[str, float | str]) -> bool:
+        """Apply dotted-name parameter updates and trigger the same targeted
+        recomputation the reference does: `mesh_map.edge_cost_factor` ->
+        edge-weight recompute (mesh_map.cpp:1362-1400); `<layer>.<param>` ->
+        layer re-evaluation cascade (e.g. border_layer.cpp:117-157,
+        inflation_layer.cpp:603-667); planner/controller scalars update in
+        place."""
+        refresh_costs = False
+        refresh_layers = False
+        for name, value in params.items():
+            scope, _, key = name.partition(".")
+            if scope == "mesh_map":
+                self.config = dataclasses.replace(
+                    self.config,
+                    mesh_map=dataclasses.replace(self.config.mesh_map, **{key: value}),
+                )
+                refresh_costs = True
+            elif scope == "planner":
+                self.config = dataclasses.replace(
+                    self.config,
+                    planner=dataclasses.replace(self.config.planner, **{key: value}),
+                )
+                self.planner.config = self.config.planner
+                refresh_costs = True  # cost_limit affects slot weights
+            elif scope == "controller":
+                self.config = dataclasses.replace(
+                    self.config,
+                    controller=dataclasses.replace(self.config.controller, **{key: value}),
+                )
+                self.controller.config = self.config.controller
+            else:
+                # layer-scoped: rebuild that layer's config params
+                layers = []
+                found = False
+                for lc in self.config.layers:
+                    if lc.name == scope:
+                        found = True
+                        params_new = tuple(
+                            (k, v) for k, v in lc.params if k != key
+                        ) + ((key, float(value)),)
+                        layers.append(dataclasses.replace(lc, params=params_new))
+                    else:
+                        layers.append(lc)
+                if not found:
+                    return False
+                self.config = dataclasses.replace(self.config, layers=tuple(layers))
+                refresh_layers = True
+        if refresh_layers:
+            # rebuild the stack so per-layer closures capture the new params
+            self.stack = LayerStack.from_configs(
+                self.config.layers, self.config.mesh_map.default_layer or None
+            )
+            prepared = self.stack.prepare(self.mesh)
+            # keep dynamic state (obstacle masks), refresh precomputes
+            self.layer_state.update(prepared)
+            refresh_costs = True
+        if refresh_costs:
+            self._refresh_costs()
+        return True
+
     def recovery(self, name: str = "clear") -> Outcome:
         """Recovery behaviors (mbf_mesh_core/mesh_recovery.h:54-93; the
         reference ships no concrete plugin — 'clear' re-evaluates the layer

@@ -124,3 +124,24 @@ def test_server_save_map(grid_mesh_small, tmp_path):
     assert srv.save_map(path)
     assert io.load_channel(path, "vertex_costs") is not None
     assert io.load_channel(path, "border") is not None
+
+
+def test_server_reconfigure(grid_mesh_small):
+    srv = _server(grid_mesh_small, "dijkstra")
+    ew0 = np.asarray(srv.edge_weights)
+    # raising edge_cost_factor must raise weights on costed edges
+    assert srv.set_parameters({"mesh_map.edge_cost_factor": 2.0})
+    ew1 = np.asarray(srv.edge_weights)
+    assert (ew1 >= ew0 - 1e-6).all() and (ew1 > ew0 + 1e-6).any()
+    # layer param change cascades into costs
+    c0 = np.asarray(srv.vertex_costs)
+    assert srv.set_parameters({"border.border_cost": 3.0})
+    c1 = np.asarray(srv.vertex_costs)
+    border = np.asarray(grid_mesh_small.boundary_vertex)
+    assert np.allclose(c1[border], 3.0)
+    assert (c1[~border] == c0[~border]).all()
+    # unknown layer rejected
+    assert not srv.set_parameters({"nope.threshold": 1.0})
+    # controller scalar
+    assert srv.set_parameters({"controller.max_lin_velocity": 0.5})
+    assert srv.controller.config.max_lin_velocity == 0.5
