@@ -118,6 +118,9 @@ class LayerStack:
     ) -> tuple[dict[str, LayerOutput], jax.Array]:
         """Evaluate the DAG. Returns ({name: LayerOutput}, combined_costs[V])."""
         state = state or {}
+        # expose per-layer combination weights (abstract_layer.h:180-183) to
+        # the combination layers
+        state["__factors__"] = {c.name: c.factor for c in self.configs}
         outputs: dict[str, LayerOutput] = {}
         for name in self.order:
             cfg = next(c for c in self.configs if c.name == name)

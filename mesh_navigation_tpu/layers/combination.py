@@ -32,15 +32,18 @@ def make_max_combination(cfg: LayerConfig):
 
 @register_layer("avg_combination")
 def make_avg_combination(cfg: LayerConfig):
-    # per-input combination weights: cfg.params entries "weight:<input_name>",
-    # falling back to 1.0 (abstract_layer.h:180-183 combination_weight).
+    # per-input combination weights = each input layer's own
+    # `combination_weight` (LayerConfig.factor, abstract_layer.h:180-183 /
+    # combination_layer.cpp:185-247); a "weight:<input>" param on this layer
+    # overrides for ad-hoc mixes.
     def fn(mesh: MeshArrays, inputs: dict, state) -> LayerOutput:
         if not inputs:
             z = jnp.zeros(mesh.num_vertices, jnp.float32)
             return LayerOutput(z, jnp.zeros_like(z, bool), zero_vectors(mesh))
+        factors = state.get("__factors__", {})
         total = jnp.zeros(mesh.num_vertices, jnp.float32)
         for name, out in inputs.items():
-            w = cfg.param(f"weight:{name}", 1.0)
+            w = cfg.param(f"weight:{name}", factors.get(name, 1.0))
             total = total + w * out.costs
         lethal = jnp.stack([o.lethal for o in inputs.values()]).any(axis=0)
         return LayerOutput(costs=total, lethal=lethal, vectors=zero_vectors(mesh))

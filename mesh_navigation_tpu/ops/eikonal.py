@@ -186,6 +186,77 @@ def sethian_candidates(
     )
 
 
+def fmm_candidates(
+    u1: jax.Array, u2: jax.Array,
+    a: jax.Array, b: jax.Array, c: jax.Array,
+) -> TriangleCandidates:
+    """Textbook FMM quadratic update — the reference's USE_UPDATE_FMM
+    variant (CVPMeshPlanner::waveFrontUpdateFMM, cvp_mesh_planner.cpp:
+    559-649): order the supporting vertices so u1 <= u2, solve
+    k0·t² + k1·t + k2 = 0, check the monotonicity window (a·cosθ < e < a/cosθ
+    with e = b(t-Δu)/t), else fall back to the cheaper of u1+b / u2+a.
+    θ bookkeeping follows the same θ+φ-π/2 formula."""
+    both_finite = jnp.isfinite(u1) & jnp.isfinite(u2)
+    # swap so the first supporting vertex has the smaller distance; remember
+    # the swap for predecessor attribution (and side lengths follow: if
+    # swapped, b' = a, a' = b)
+    swap = u2 < u1
+    lo = jnp.where(swap, u2, u1)
+    hi = jnp.where(swap, u1, u2)
+    b_eff = jnp.where(swap, a, b)
+    a_eff = jnp.where(swap, b, a)
+    lo_s = jnp.where(both_finite, lo, 0.0)
+    hi_s = jnp.where(both_finite, hi, 0.0)
+
+    du = hi_s - lo_s
+    cos_t = (a_eff * a_eff + b_eff * b_eff - c * c) / jnp.maximum(
+        2.0 * a_eff * b_eff, _EPS
+    )
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    k0 = a_eff * a_eff + b_eff * b_eff - 2.0 * a_eff * b_eff * cos_t
+    k1 = 2.0 * b_eff * du * (a_eff * cos_t - b_eff)
+    k2 = b_eff * b_eff * (du * du - a_eff * a_eff * (1.0 - cos_t * cos_t))
+    r = k1 * k1 - 4.0 * k0 * k2
+    k0_safe = jnp.where(jnp.abs(k0) > _EPS, k0, _EPS)
+    t = jnp.where(
+        r < 0.0, -k1 / (2.0 * k0_safe), (-k1 + jnp.sqrt(jnp.maximum(r, 0.0))) / (2.0 * k0_safe)
+    )
+    t_safe = jnp.where(jnp.abs(t) > _EPS, t, _EPS)
+    e = b_eff * (t - du) / t_safe
+    cos_safe = jnp.where(jnp.abs(cos_t) > _EPS, cos_t, _EPS)
+    window = (du < t) & (e < a_eff / cos_safe) & (e > a_eff * cos_t)
+
+    interior = lo_s + t
+    fb_lo = lo_s + b_eff
+    fb_hi = hi_s + a_eff
+    fb = jnp.minimum(fb_lo, fb_hi)
+    value = jnp.where(window & jnp.isfinite(interior), interior, fb)
+    pred_is_lo = jnp.where(window, True, fb_lo <= fb_hi)
+    # attribute back through the swap: predecessor "v1" means the original v1
+    pred_is_v1 = jnp.where(swap, ~pred_is_lo, pred_is_lo)
+
+    theta_ang = jnp.arccos(cos_t)
+    phi_denom = jnp.sqrt(
+        jnp.maximum(a_eff * a_eff * e * e - 2.0 * a_eff * cos_t, _EPS)
+    )
+    phi = jnp.arcsin(jnp.clip(e * jnp.sin(theta_ang) / phi_denom, -1.0, 1.0))
+    theta = jnp.where(window, theta_ang + phi - jnp.pi / 2.0, 0.0)
+
+    value = jnp.where(both_finite & jnp.isfinite(value), value, INF)
+    return TriangleCandidates(
+        value=value.astype(jnp.float32),
+        pred_is_v1=pred_is_v1,
+        theta=theta.astype(jnp.float32),
+    )
+
+
+_UPDATE_FNS = {
+    "unfolding": unfolding_candidates,
+    "sethian": sethian_candidates,
+    "fmm": fmm_candidates,
+}
+
+
 class EikonalResult(NamedTuple):
     dist: jax.Array           # [V] f32 potential
     pred: jax.Array           # [V] i32 predecessor vertex (self = none)
@@ -234,7 +305,7 @@ def eikonal_field(
     a_len = side_lengths[ea]
     b_len = side_lengths[eb]
     c_len = side_lengths[ec]
-    cand_fn = {"unfolding": unfolding_candidates, "sethian": sethian_candidates}[update]
+    cand_fn = _UPDATE_FNS[update]
 
     vidx = jnp.arange(V, dtype=jnp.int32)
     is_seed = jnp.isfinite(seed_dist)
@@ -331,7 +402,7 @@ def batched_eikonal_field(
     a_len = side_lengths[ea][..., None]      # [F, 3, 1]
     b_len = side_lengths[eb][..., None]
     c_len = side_lengths[ec][..., None]
-    cand_fn = {"unfolding": unfolding_candidates, "sethian": sethian_candidates}[update]
+    cand_fn = _UPDATE_FNS[update]
 
     if target_mask is None:
         target_mask = ~mesh.invalid

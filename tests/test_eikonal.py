@@ -124,3 +124,26 @@ def test_repulsive_field_points_away(grid_mesh_small):
     cos = np.sum(vec[reach] * away, axis=1) / np.maximum(np.linalg.norm(away, axis=1), 1e-9)
     # repulsive vectors predominantly point away from the obstacle
     assert (cos > 0.0).mean() > 0.9
+
+
+def test_fmm_update_variant(grid_mesh_small):
+    """The USE_UPDATE_FMM compile-flag variant (cvp_mesh_planner.cpp:559-649):
+    on a flat grid with Euclidean side lengths all three update rules must
+    produce near-identical potentials."""
+    m = grid_mesh_small
+    # CVP-style goal-face seeding (three vertices of face [0, 8, 9])
+    seed = np.full(m.num_vertices, np.inf, np.float32)
+    seed[0], seed[8], seed[9] = 0.0, 1.0, np.sqrt(2.0)
+    res_u = eikonal.eikonal_field(m, m.edge_dist, jnp.asarray(seed), update="unfolding")
+    res_f = eikonal.eikonal_field(m, m.edge_dist, jnp.asarray(seed), update="fmm")
+    u = np.asarray(res_u.dist)
+    f = np.asarray(res_f.dist)
+    fin = np.isfinite(u) & np.isfinite(f)
+    assert fin.sum() > 60
+    # the textbook quadratic is a coarser update than unfolding: fields agree
+    # to a few percent (they are distinct rules in the reference as well)
+    np.testing.assert_allclose(f[fin], u[fin], rtol=4e-2, atol=1e-3)
+    # fmm predecessors point downhill
+    pred = np.asarray(res_f.pred)
+    has = pred != np.arange(m.num_vertices)
+    assert (f[pred[has]] <= f[has] + 1e-5).all()
