@@ -40,12 +40,15 @@ def process_point_cloud(
     params: ObstacleParams,
     *,
     sensor_origin: jax.Array | None = None,
+    face_grid: "raycast.FaceGrid2D | None" = None,
 ) -> jax.Array:
     """Returns the new lethal mask [V] bool.
 
     Points are range-filtered around `sensor_origin` (obstacle_layer.cpp:
     214-227), rays are cast from each point along `down_axis`, and faces hit
-    within `robot_height` make their three vertices lethal (241-256).
+    within `robot_height` make their three vertices lethal (241-256). With a
+    `face_grid` and a vertical down axis the cast uses the xy face bins
+    (Embree-class speed) instead of brute force.
     """
     down = jnp.asarray(params.down_axis, jnp.float32)
     down = down / jnp.maximum(jnp.linalg.norm(down), 1e-12)
@@ -54,8 +57,14 @@ def process_point_cloud(
         rng = jnp.linalg.norm(points - sensor_origin, axis=-1)
         finite = finite & (rng >= params.min_range) & (rng <= params.max_range)
     safe_points = jnp.where(finite[:, None], points, 0.0)
-    dirs = jnp.broadcast_to(down, safe_points.shape)
-    t, face_id, hit = raycast.raycast_bruteforce(mesh, safe_points, dirs)
+    vertical = tuple(params.down_axis[:2]) == (0.0, 0.0)
+    if face_grid is not None and vertical:
+        t, face_id, hit = raycast.raycast_vertical(
+            mesh, face_grid, safe_points, down=params.down_axis[2] < 0
+        )
+    else:
+        dirs = jnp.broadcast_to(down, safe_points.shape)
+        t, face_id, hit = raycast.raycast_bruteforce(mesh, safe_points, dirs)
     hit = hit & finite & (t <= params.robot_height)
     face_hit = jnp.zeros(mesh.num_faces, bool).at[jnp.where(hit, face_id, 0)].set(
         hit, mode="drop"
@@ -86,7 +95,10 @@ def make_obstacle(cfg: LayerConfig):
         key_pts = f"obstacle:{cfg.name}:points"
         key_lethal = f"obstacle:{cfg.name}:lethal"
         if key_pts in state:
-            lethal = process_point_cloud(mesh, state[key_pts], params)
+            lethal = process_point_cloud(
+                mesh, state[key_pts], params,
+                face_grid=state.get("__face_grid__"),
+            )
             state[key_lethal] = lethal
         elif key_lethal in state:
             lethal = state[key_lethal]
@@ -95,4 +107,8 @@ def make_obstacle(cfg: LayerConfig):
         costs = jnp.where(lethal, INF, 0.0).astype(jnp.float32)
         return LayerOutput(costs=costs, lethal=lethal, vectors=zero_vectors(mesh))
 
+    def prepare(m: MeshArrays) -> dict:
+        return {"__face_grid__": raycast.build_face_grid(m)}
+
+    fn.prepare = prepare  # type: ignore[attr-defined]
     return fn

@@ -160,3 +160,25 @@ def test_inflation_in_dag(grid_mesh_small):
     # fades with distance
     assert c[19] > 0.3                               # one ring out
     assert c[0] == 0.0                               # far corner
+
+
+def test_grid_raycast_matches_bruteforce(grid_mesh_small):
+    import jax.numpy as jnp
+    from mesh_navigation_tpu.ops import raycast
+
+    m = grid_mesh_small
+    fgrid = raycast.build_face_grid(m)
+    rng = np.random.default_rng(3)
+    pts = np.column_stack([
+        rng.uniform(0.2, 6.8, 32), rng.uniform(0.2, 6.8, 32), np.full(32, 2.0)
+    ]).astype(np.float32)
+    t1, f1, h1 = raycast.raycast_vertical(m, fgrid, jnp.asarray(pts))
+    dirs = jnp.tile(jnp.asarray([0.0, 0, -1.0]), (32, 1))
+    t2, f2, h2 = raycast.raycast_bruteforce(m, jnp.asarray(pts), dirs)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    hit = np.asarray(h1)
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(f1)[hit], np.asarray(f2)[hit])
+    # points above the flat grid at z=2 all hit at t=2
+    np.testing.assert_allclose(np.asarray(t1)[hit], 2.0, rtol=1e-5)
+    assert hit.all()
