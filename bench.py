@@ -32,7 +32,7 @@ def main():
     from mesh_navigation_tpu.control import MeshController
     from mesh_navigation_tpu.control.controller import initial_state
     from mesh_navigation_tpu.mesh import build_mesh, query, synthetic
-    from mesh_navigation_tpu.ops import ordered, sweeps
+    from mesh_navigation_tpu.ops import ordered, structured, sweeps
 
     t0 = time.time()
     v, f = synthetic.terrain_mesh(
@@ -52,16 +52,15 @@ def main():
     ew = sweeps.compute_edge_weights(mesh, costs, 1.0)
     W = sweeps.slot_weights(mesh, ew, costs, 2.0)
 
-    plan = ordered.SweepPlan(
-        chunks=jnp.zeros((1, 1, 1), jnp.int32), num_vertices=mesh.num_vertices
-    )
+    plan = structured.build_offset_plan(mesh, W)
+    print(f"# offset coverage {plan.coverage:.4f} (K={len(plan.offsets)})", file=sys.stderr)
     ctrl = MeshController(mesh, ControllerConfig())
 
     def solve_batch(starts, goals, quats):
         sv = jax.vmap(lambda p: query.nearest_vertex(mesh, grid, p)[0])(starts)
         gv = jax.vmap(lambda p: query.nearest_vertex(mesh, grid, p)[0])(goals)
-        field = ordered.batched_field_hybrid(
-            mesh, W, plan, gv, ordered_rounds=0, block_sweeps=16
+        field = structured.batched_field_structured(
+            mesh, W, plan, gv, block_sweeps=16
         )
 
         def finish(dist, pred, s, g, q, svi):

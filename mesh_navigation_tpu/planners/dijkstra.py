@@ -132,25 +132,54 @@ class DijkstraPlanner:
             block_sweeps=max(self.config.block_sweeps, 16),
             max_sweeps=self.config.max_sweeps,
         )
+        return jax.vmap(self._finish_batch)(field.dist, field.pred, start_v, goal_v)
 
-        def finish(dist, pred, sv, gv):
-            vector_map = sweeps.vector_map_from_predecessors(mesh, pred)
-            path, valid = sweeps.extract_path(pred, sv, gv, self.max_path_len)
-            positions = mesh.vertices[path]
-            quats, cost = pose_chain(positions, valid, mesh.vertex_normals[path])
-            reached = jnp.isfinite(dist[sv])
-            outcome = jnp.where(
-                reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND
-            ).astype(jnp.int32)
-            return PlanResult(
-                outcome=outcome,
-                path_positions=positions,
-                path_quats=quats,
-                path_valid=valid & reached,
-                cost=jnp.where(reached, cost, jnp.inf),
-                potential=dist,
-                vector_map=vector_map,
-                pred=pred,
-            )
+    def _finish_batch(self, dist, pred, sv, gv) -> PlanResult:
+        mesh = self.mesh
+        vector_map = sweeps.vector_map_from_predecessors(mesh, pred)
+        path, valid = sweeps.extract_path(pred, sv, gv, self.max_path_len)
+        positions = mesh.vertices[path]
+        quats, cost = pose_chain(positions, valid, mesh.vertex_normals[path])
+        reached = jnp.isfinite(dist[sv])
+        outcome = jnp.where(
+            reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND
+        ).astype(jnp.int32)
+        return PlanResult(
+            outcome=outcome,
+            path_positions=positions,
+            path_quats=quats,
+            path_valid=valid & reached,
+            cost=jnp.where(reached, cost, jnp.inf),
+            potential=dist,
+            vector_map=vector_map,
+            pred=pred,
+        )
 
-        return jax.vmap(finish)(field.dist, field.pred, start_v, goal_v)
+    def prepare_offset_plan(self, weights_vd: jax.Array):
+        """Host-side offset classification for the structured (gather-free)
+        solver; rebuild whenever the cost field changes."""
+        from mesh_navigation_tpu.ops import structured as _structured
+
+        return _structured.build_offset_plan(self.mesh, weights_vd)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def plan_batch_structured(
+        self,
+        weights_vd: jax.Array,
+        offset_plan,
+        starts: jax.Array,
+        goals: jax.Array,
+    ) -> PlanResult:
+        """Batch planning with offset-shift sweeps (ops/structured.py) — the
+        fastest path on band-ordered meshes (~2x over the gather solver)."""
+        from mesh_navigation_tpu.ops import structured as _structured
+
+        mesh = self.mesh
+        start_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(starts)
+        goal_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(goals)
+        field = _structured.batched_field_structured(
+            mesh, weights_vd, offset_plan, goal_v,
+            block_sweeps=max(self.config.block_sweeps, 16),
+            max_sweeps=self.config.max_sweeps,
+        )
+        return jax.vmap(self._finish_batch)(field.dist, field.pred, start_v, goal_v)

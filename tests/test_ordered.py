@@ -67,3 +67,22 @@ def test_planner_batch_ordered(grid_mesh_small):
     np.testing.assert_allclose(
         np.asarray(r1.potential), np.asarray(r2.potential), rtol=1e-5
     )
+
+
+def test_planner_batch_structured(grid_mesh_small):
+    from mesh_navigation_tpu.api.outcomes import Outcome
+    from mesh_navigation_tpu.config import PlannerConfig
+    from mesh_navigation_tpu.planners import DijkstraPlanner
+
+    m = grid_mesh_small
+    costs = jnp.zeros(m.num_vertices, jnp.float32)
+    planner = DijkstraPlanner(m, PlannerConfig(), max_path_len=32)
+    W = planner.prepare_weights(costs)
+    plan = planner.prepare_offset_plan(W)
+    starts = jnp.asarray([[0.0, 0, 0], [7, 0, 0]])
+    goals = jnp.asarray([[7.0, 7, 0], [0, 7, 0]])
+    r1 = planner.plan_batch_structured(W, plan, starts, goals)
+    r2 = planner.plan_batch(W, starts, goals)
+    assert (np.asarray(r1.outcome) == Outcome.SUCCESS).all()
+    np.testing.assert_allclose(np.asarray(r1.cost), np.asarray(r2.cost), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1.potential), np.asarray(r2.potential), rtol=1e-5)
