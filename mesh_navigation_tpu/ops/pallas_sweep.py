@@ -1,0 +1,89 @@
+"""Pallas TPU kernel: fused offset-shift relaxation sweep.
+
+The structured solver's sweep is K shifted adds + mins over the [V, B]
+distance matrix (ops/structured.py). XLA executes the K rolls as separate
+HBM passes; this kernel fuses them into one tiled pass: each grid step sees
+three consecutive T x B tiles of the (tile-padded) distance matrix — prev,
+center, next — concatenated in VMEM, so every shifted read is a *static
+slice* (|offset| <= T, no gathers), adds the per-class weight planes, and
+min-reduces on the VPU. One HBM read + one write per sweep ≈ speed-of-light
+for this op.
+
+The matrix is padded with one full tile of +inf rows on both ends so edge
+tiles need no branches; padded rows carry inf weights and never propagate.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = jnp.inf
+
+
+def pallas_available() -> bool:
+    if os.environ.get("MESHNAV_DISABLE_PALLAS") == "1":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _sweep_kernel(offsets, tile, prev_ref, cur_ref, next_ref, planes_ref, out_ref):
+    window = jnp.concatenate([prev_ref[:], cur_ref[:], next_ref[:]], axis=0)
+    best = cur_ref[:]
+    for k, off in enumerate(offsets):
+        shifted = window[tile + off : 2 * tile + off, :]
+        w = planes_ref[k, :]
+        best = jnp.minimum(best, shifted + w[:, None])
+    out_ref[:, :] = best
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile"))
+def fused_sweep(
+    dist_padded: jax.Array,   # [T + Vp + T, B] — one inf tile each end
+    planes: jax.Array,        # [K, Vp] f32 per-class weights (inf = no edge)
+    offsets: tuple[int, ...],
+    tile: int = 512,
+) -> jax.Array:
+    """One relaxation sweep. Returns the updated padded matrix."""
+    K, Vp = planes.shape
+    B = dist_padded.shape[1]
+    assert Vp % tile == 0, (Vp, tile)
+    assert max(abs(o) for o in offsets) <= tile
+    n_tiles = Vp // tile
+
+    out = pl.pallas_call(
+        functools.partial(_sweep_kernel, offsets, tile),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, B), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, B), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Vp, B), dist_padded.dtype),
+    )(dist_padded, dist_padded, dist_padded, planes)
+    return dist_padded.at[tile : tile + Vp, :].set(out)
+
+
+def sweep_loop(
+    dist_padded: jax.Array,
+    planes: jax.Array,
+    offsets: tuple[int, ...],
+    n_sweeps: int,
+    tile: int = 512,
+) -> jax.Array:
+    """n_sweeps fused sweeps under fori_loop (for the convergence blocks)."""
+    return jax.lax.fori_loop(
+        0, n_sweeps, lambda _, d: fused_sweep(d, planes, offsets, tile=tile), dist_padded
+    )

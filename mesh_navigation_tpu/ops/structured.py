@@ -99,14 +99,26 @@ def batched_field_structured(
     *,
     block_sweeps: int = 16,
     max_sweeps: int = 0,
+    use_pallas: bool | None = None,
+    tile: int = 512,
 ) -> StructuredFieldResult:
     """Batched SSSP with offset-shift sweeps + residual scatter-min; exact
-    Dijkstra fixed point, [V, B] layout."""
+    Dijkstra fixed point, [V, B] layout. On TPU the sweep runs as the fused
+    Pallas kernel (ops/pallas_sweep.py) unless disabled."""
+    from mesh_navigation_tpu.ops import pallas_sweep
+
     V, D = weights_vd.shape
     B = seeds.shape[0]
     if max_sweeps <= 0:
         max_sweeps = 4 * V
     n_blocks = -(-max_sweeps // block_sweeps)
+    if use_pallas is None:
+        use_pallas = (
+            pallas_sweep.pallas_available()
+            and bool(plan.offsets)
+            and max(abs(o) for o in plan.offsets) <= tile
+            and B % 128 == 0
+        )
 
     dist0 = jnp.where(
         jnp.arange(V, dtype=jnp.int32)[:, None] == seeds[None, :], 0.0, INF
@@ -118,26 +130,53 @@ def batched_field_structured(
     # unconditionally is correct (and free when coverage == 1)
     has_residual = plan.res_dst.shape[0] > 0
 
-    def sweep(d):
-        best = d
-        for k, off in enumerate(plan.offsets):
-            best = jnp.minimum(best, jnp.roll(d, -off, axis=0) + planes[k])
-        if has_residual:
-            cand = d[plan.res_src] + plan.res_w[:, None]        # [R, B]
-            best = best.at[plan.res_dst].min(cand)
-        return best
+    if use_pallas:
+        Vp = -(-V // tile) * tile
+        planes_p = jnp.pad(plan.planes, ((0, 0), (0, Vp - V)), constant_values=INF)
 
-    def block(carry):
-        d, it, _ = carry
-        new = jax.lax.fori_loop(0, block_sweeps, lambda _, x: sweep(x), d)
-        return new, it + block_sweeps, jnp.any(new < d)
+        def sweep_p(dp):
+            dp = pallas_sweep.fused_sweep(dp, planes_p, plan.offsets, tile=tile)
+            if has_residual:
+                cand = dp[plan.res_src + tile] + plan.res_w[:, None]
+                dp = dp.at[plan.res_dst + tile].min(cand)
+            return dp
 
-    def cond(carry):
-        return carry[2] & (carry[1] < n_blocks * block_sweeps)
+        dp0 = jnp.full((tile + Vp + tile, B), INF, jnp.float32)
+        dp0 = dp0.at[tile : tile + V].set(dist0)
 
-    dist, sweeps_done, changed = jax.lax.while_loop(
-        cond, block, (sweep(dist0), jnp.int32(1), jnp.bool_(True))
-    )
+        def block_p(carry):
+            d, it, _ = carry
+            new = jax.lax.fori_loop(0, block_sweeps, lambda _, x: sweep_p(x), d)
+            return new, it + block_sweeps, jnp.any(new < d)
+
+        def cond_p(carry):
+            return carry[2] & (carry[1] < n_blocks * block_sweeps)
+
+        dp, sweeps_done, changed = jax.lax.while_loop(
+            cond_p, block_p, (sweep_p(dp0), jnp.int32(1), jnp.bool_(True))
+        )
+        dist = dp[tile : tile + V]
+    else:
+        def sweep(d):
+            best = d
+            for k, off in enumerate(plan.offsets):
+                best = jnp.minimum(best, jnp.roll(d, -off, axis=0) + planes[k])
+            if has_residual:
+                cand = d[plan.res_src] + plan.res_w[:, None]        # [R, B]
+                best = best.at[plan.res_dst].min(cand)
+            return best
+
+        def block(carry):
+            d, it, _ = carry
+            new = jax.lax.fori_loop(0, block_sweeps, lambda _, x: sweep(x), d)
+            return new, it + block_sweeps, jnp.any(new < d)
+
+        def cond(carry):
+            return carry[2] & (carry[1] < n_blocks * block_sweeps)
+
+        dist, sweeps_done, changed = jax.lax.while_loop(
+            cond, block, (sweep(dist0), jnp.int32(1), jnp.bool_(True))
+        )
 
     # predecessor recovery against the converged field (as in ordered._finish)
     adj = mesh.adj_vertex
