@@ -101,6 +101,7 @@ def batched_field_structured(
     max_sweeps: int = 0,
     use_pallas: bool | None = None,
     tile: int = 512,
+    n_inner: int = 4,
 ) -> StructuredFieldResult:
     """Batched SSSP with offset-shift sweeps + residual scatter-min; exact
     Dijkstra fixed point, [V, B] layout. On TPU the sweep runs as the fused
@@ -135,7 +136,9 @@ def batched_field_structured(
         planes_p = jnp.pad(plan.planes, ((0, 0), (0, Vp - V)), constant_values=INF)
 
         def sweep_p(dp):
-            dp = pallas_sweep.fused_sweep(dp, planes_p, plan.offsets, tile=tile)
+            dp = pallas_sweep.fused_sweep(
+                dp, planes_p, plan.offsets, tile=tile, n_inner=n_inner
+            )
             if has_residual:
                 cand = dp[plan.res_src + tile] + plan.res_w[:, None]
                 dp = dp.at[plan.res_dst + tile].min(cand)
@@ -178,12 +181,17 @@ def batched_field_structured(
             cond, block, (sweep(dist0), jnp.int32(1), jnp.bool_(True))
         )
 
-    # predecessor recovery against the converged field (as in ordered._finish)
+    # predecessor recovery against the converged field, slot-unrolled so no
+    # [V, D, B] buffer materializes
     adj = mesh.adj_vertex
     vidx = jnp.arange(V, dtype=jnp.int32)
-    cand = dist[adj] + weights_vd[..., None]
-    arg = jnp.argmin(cand, axis=1)
-    best = jnp.min(cand, axis=1)
+    best = jnp.full_like(dist, INF)
+    arg = jnp.zeros(dist.shape, jnp.int32)
+    for j in range(D):
+        cand_j = dist[adj[:, j]] + weights_vd[:, j][:, None]
+        better = cand_j < best
+        best = jnp.where(better, cand_j, best)
+        arg = jnp.where(better, j, arg)
     has = (best <= dist + 1e-6) & (dist > 0) & jnp.isfinite(dist)
     pred = jnp.where(has, adj[vidx[:, None], arg], vidx[:, None])
     return StructuredFieldResult(
