@@ -250,10 +250,72 @@ def fmm_candidates(
     )
 
 
+def with_s_candidates(
+    u1: jax.Array, u2: jax.Array,
+    a: jax.Array, b: jax.Array, c: jax.Array,
+) -> TriangleCandidates:
+    """Unfolding update with explicit Heron-area terms — the reference's
+    USE_UPDATE_WITH_S variant (CVPMeshPlanner::waveFrontUpdateWithS,
+    cvp_mesh_planner.cpp:249-367): areas A (source triangle) and B (face)
+    give sy = -A/2c, hc = B/2c; acceptance is by the sign of the
+    S = sy·p - sx·hc (resp. the v2-sided analog) orientation test plus a
+    |cos| <= 1 angle check, else the edge fallback through the *nearer*
+    supporting vertex."""
+    both_finite = jnp.isfinite(u1) & jnp.isfinite(u2)
+    u1s = jnp.where(both_finite, u1, 0.0)
+    u2s = jnp.where(both_finite, u2, 0.0)
+
+    c_safe = jnp.maximum(c, _EPS)
+    heron_a = jnp.sqrt(jnp.maximum(
+        (-u1s + u2s + c) * (u1s - u2s + c) * (u1s + u2s - c) * (u1s + u2s + c), 0.0
+    ))
+    heron_b = jnp.sqrt(jnp.maximum(
+        (-a + b + c) * (a - b + c) * (a + b - c) * (a + b + c), 0.0
+    ))
+    sx = (c * c + u1s * u1s - u2s * u2s) / (2.0 * c_safe)
+    sy = -heron_a / (2.0 * c_safe)
+    p = (-a * a + b * b + c * c) / (2.0 * c_safe)
+    hc = heron_b / (2.0 * c_safe)
+    dx = p - sx
+    dy = hc - sy
+    u3_sq = dx * dx + dy * dy
+    u3 = jnp.sqrt(u3_sq)
+    u3_safe = jnp.maximum(u3, _EPS)
+
+    v1_nearer = u1s < u2s
+    s1 = sy * p - sx * hc
+    s2 = sx * hc - hc * c + sy * c - sy * p
+    t1cos = (u3_sq + b * b - u1s * u1s) / (2.0 * u3_safe * jnp.maximum(b, _EPS))
+    t2cos = (a * a + u3_sq - u2s * u2s) / (2.0 * jnp.maximum(a, _EPS) * u3_safe)
+
+    ok1 = (s1 <= 0.0) & (jnp.abs(t1cos) <= 1.0)
+    ok2 = (s2 <= 0.0) & (jnp.abs(t2cos) <= 1.0)
+    accept_interior = jnp.where(v1_nearer, ok1, ok2)
+    fb = jnp.where(v1_nearer, u1s + b, u2s + a)
+    value = jnp.where(accept_interior, u3, fb)
+    pred_is_v1 = v1_nearer
+    theta = jnp.where(
+        accept_interior,
+        jnp.where(
+            v1_nearer,
+            jnp.arccos(jnp.clip(t1cos, -1.0, 1.0)),
+            -jnp.arccos(jnp.clip(t2cos, -1.0, 1.0)),
+        ),
+        0.0,
+    )
+    value = jnp.where(both_finite & jnp.isfinite(value), value, INF)
+    return TriangleCandidates(
+        value=value.astype(jnp.float32),
+        pred_is_v1=pred_is_v1,
+        theta=theta.astype(jnp.float32),
+    )
+
+
 _UPDATE_FNS = {
     "unfolding": unfolding_candidates,
     "sethian": sethian_candidates,
     "fmm": fmm_candidates,
+    "with_s": with_s_candidates,
 }
 
 

@@ -147,3 +147,21 @@ def test_fmm_update_variant(grid_mesh_small):
     pred = np.asarray(res_f.pred)
     has = pred != np.arange(m.num_vertices)
     assert (f[pred[has]] <= f[has] + 1e-5).all()
+
+
+def test_with_s_update_variant(grid_mesh_small):
+    """USE_UPDATE_WITH_S variant (cvp_mesh_planner.cpp:249-367): on flat
+    triangulations its potentials track the unfolding update closely."""
+    m = grid_mesh_small
+    seed = np.full(m.num_vertices, np.inf, np.float32)
+    seed[0], seed[8], seed[9] = 0.0, 1.0, np.sqrt(2.0)
+    res_u = eikonal.eikonal_field(m, m.edge_dist, jnp.asarray(seed), update="unfolding")
+    res_s = eikonal.eikonal_field(m, m.edge_dist, jnp.asarray(seed), update="with_s")
+    u = np.asarray(res_u.dist)
+    s = np.asarray(res_s.dist)
+    fin = np.isfinite(u) & np.isfinite(s)
+    assert fin.sum() > 60
+    np.testing.assert_allclose(s[fin], u[fin], rtol=5e-2, atol=1e-3)
+    pred = np.asarray(res_s.pred)
+    has = pred != np.arange(m.num_vertices)
+    assert (s[pred[has]] <= s[has] + 1e-5).all()
