@@ -239,13 +239,20 @@ class MeshNavServer:
             self._refresh_costs()
         return True
 
-    def recovery(self, name: str = "clear") -> Outcome:
+    def recovery(self, name: str = "clear", orientation: jax.Array | None = None):
         """Recovery behaviors (mbf_mesh_core/mesh_recovery.h:54-93; the
-        reference ships no concrete plugin — 'clear' re-evaluates the layer
-        DAG after dropping dynamic obstacle state)."""
+        reference ships no concrete plugin). 'clear' re-evaluates the layer
+        DAG after dropping dynamic obstacle state; 'rotate' returns the
+        rotate-in-place command sequence (control/recovery.py)."""
         if name == "clear":
             self.clear_mesh()
             return Outcome.SUCCESS
+        if name == "rotate":
+            from mesh_navigation_tpu.control import recovery as _recovery
+
+            if orientation is None:
+                orientation = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+            return _recovery.rotate_in_place(_recovery.RotateRecovery(), orientation)
         return Outcome.INVALID_PLUGIN
 
     def save_map(self, path: str) -> bool:

@@ -129,3 +129,16 @@ def test_batched_controller(grid_mesh_small):
     )(poss, quats, sts)
     assert cmds.linear.shape == (B,)
     assert (np.asarray(cmds.outcome) == Outcome.SUCCESS).all()
+
+
+def test_rotate_recovery(grid_mesh_small):
+    from mesh_navigation_tpu.control.recovery import RotateRecovery, rotate_in_place
+    from mesh_navigation_tpu.mesh import geometry
+
+    q0 = _quat_yaw(0.0)
+    lin, ang, quats = rotate_in_place(RotateRecovery(target_angle=np.pi), q0)
+    assert (np.asarray(lin) == 0.0).all()
+    assert (np.asarray(ang) > 0.0).all()
+    # final heading ~ rotated by pi around z
+    final_dir = np.asarray(geometry.direction_from_pose(quats[-1]))
+    np.testing.assert_allclose(final_dir[:2], [-1.0, 0.0], atol=0.1)
