@@ -95,6 +95,12 @@ class MeshNavServer:
             self.mesh, self.edge_weights, self.vertex_costs,
             self.config.planner.cost_limit,
         )
+        # offset classification for the structured batch solver (rebuilt with
+        # the cost field; used by get_path_batch on the dijkstra planner)
+        if isinstance(self.planner, DijkstraPlanner):
+            self.offset_plan = self.planner.prepare_offset_plan(self.slot_weights)
+        else:
+            self.offset_plan = None
 
     def update_point_cloud(self, layer_name: str, points: jax.Array) -> None:
         """Obstacle-layer sensor update -> layer cascade re-evaluation
@@ -116,6 +122,10 @@ class MeshNavServer:
 
     def get_path_batch(self, starts: jax.Array, goals: jax.Array) -> PlanResult:
         if isinstance(self.planner, DijkstraPlanner):
+            if self.offset_plan is not None and self.offset_plan.coverage > 0.5:
+                return self.planner.plan_batch_structured(
+                    self.slot_weights, self.offset_plan, starts, goals
+                )
             return self.planner.plan_batch(self.slot_weights, starts, goals)
         return self.planner.plan_batch(self.edge_weights, self.vertex_costs, starts, goals)
 

@@ -145,3 +145,15 @@ def test_server_reconfigure(grid_mesh_small):
     # controller scalar
     assert srv.set_parameters({"controller.max_lin_velocity": 0.5})
     assert srv.controller.config.max_lin_velocity == 0.5
+
+
+def test_server_batch_planning(grid_mesh_small):
+    srv = _server(grid_mesh_small, "dijkstra")
+    starts = jnp.asarray([[1.0, 1, 0], [6, 1, 0]])
+    goals = jnp.asarray([[6.0, 6, 0], [1, 6, 0]])
+    res = srv.get_path_batch(starts, goals)
+    assert (np.asarray(res.outcome) == Outcome.SUCCESS).all()
+    # matches single-plan costs
+    for i in range(2):
+        one = srv.get_path(starts[i], goals[i])
+        np.testing.assert_allclose(float(res.cost[i]), float(one.cost), rtol=1e-5)
