@@ -86,3 +86,26 @@ def test_planner_batch_structured(grid_mesh_small):
     assert (np.asarray(r1.outcome) == Outcome.SUCCESS).all()
     np.testing.assert_allclose(np.asarray(r1.cost), np.asarray(r2.cost), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(r1.potential), np.asarray(r2.potential), rtol=1e-5)
+
+
+def test_structured_bf16_within_tolerance(terrain_mesh_medium):
+    from mesh_navigation_tpu.ops import structured
+
+    m = terrain_mesh_medium
+    rng = np.random.default_rng(0)
+    costs = jnp.asarray(rng.uniform(0, 0.6, m.num_vertices).astype(np.float32))
+    ew = sweeps.compute_edge_weights(m, costs, 1.0)
+    W = sweeps.slot_weights(m, ew, costs, 1.0)
+    plan = structured.build_offset_plan(m, W)
+    seeds = jnp.asarray([3, 512], jnp.int32)
+    r32 = structured.batched_field_structured(m, W, plan, seeds, use_pallas=False)
+    r16 = structured.batched_field_structured(
+        m, W, plan, seeds, use_pallas=False, dtype=jnp.bfloat16
+    )
+    a, b = np.asarray(r32.dist), np.asarray(r16.dist)
+    fin = np.isfinite(a)
+    assert (np.isfinite(b) == fin).all()
+    rel = np.abs(b[fin] - a[fin]) / np.maximum(a[fin], 0.5)
+    # opt-in approximate mode: bf16 rounding accumulates to ~1.5% worst case
+    assert rel.max() < 0.02, rel.max()
+    assert rel.mean() < 0.005, rel.mean()
