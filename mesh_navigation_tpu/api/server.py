@@ -162,6 +162,92 @@ class MeshNavServer:
         )
 
     # ------------------------------------------------------------------
+    # MoveBase (the combined action MBF builds from GetPath + ExePath +
+    # Recovery with patience/retry logic — SURVEY.md §2.2 MBF substrate)
+    # ------------------------------------------------------------------
+    def navigate(
+        self,
+        position: jax.Array,
+        orientation: jax.Array,
+        goal: jax.Array,
+        *,
+        dist_tolerance: float = 0.3,
+        angle_tolerance: float = 3.2,
+        max_cycles: int = 2048,
+        replan_every: int = 256,
+        max_recoveries: int = 2,
+        dt: float = 0.05,
+    ) -> dict:
+        """Closed-loop navigate-to-goal: plan, follow the vector field with
+        the controller, replan periodically, and fall back to the recovery
+        chain (clear -> rotate) on controller failure — the MoveBase action
+        state machine as a host loop over jitted steps.
+
+        Returns {outcome, cycles, recoveries, final_position, path_cost}.
+        """
+        from mesh_navigation_tpu.control.controller import _quat_mul
+        from mesh_navigation_tpu.mesh import geometry
+
+        recoveries = 0
+        plan = self.get_path(position, goal)
+        if int(plan.outcome) != Outcome.SUCCESS:
+            return {
+                "outcome": Outcome(int(plan.outcome)), "cycles": 0,
+                "recoveries": 0, "final_position": position, "path_cost": float("inf"),
+            }
+        state = self.set_plan(plan)
+        cycles = 0
+        while cycles < max_cycles:
+            if bool(self.is_goal_reached(position, orientation, state,
+                                         dist_tolerance, angle_tolerance)):
+                return {
+                    "outcome": Outcome.SUCCESS, "cycles": cycles,
+                    "recoveries": recoveries, "final_position": position,
+                    "path_cost": float(plan.cost),
+                }
+            cmd, state = self.exe_path_step(plan, position, orientation, state)
+            oc = int(cmd.outcome)
+            if oc != Outcome.SUCCESS:
+                if recoveries >= max_recoveries:
+                    return {
+                        "outcome": Outcome(oc), "cycles": cycles,
+                        "recoveries": recoveries, "final_position": position,
+                        "path_cost": float(plan.cost),
+                    }
+                recoveries += 1
+                self.recovery("clear")
+                plan = self.get_path(position, goal)
+                if int(plan.outcome) != Outcome.SUCCESS:
+                    return {
+                        "outcome": Outcome(int(plan.outcome)), "cycles": cycles,
+                        "recoveries": recoveries, "final_position": position,
+                        "path_cost": float("inf"),
+                    }
+                state = self.set_plan(plan)
+                continue
+            # integrate the unicycle step
+            fwd = geometry.direction_from_pose(orientation)
+            up = geometry.direction_from_pose(
+                orientation, jnp.asarray([0.0, 0.0, 1.0], orientation.dtype)
+            )
+            position = position + fwd * cmd.linear * dt
+            half = cmd.angular * dt * 0.5
+            dq = jnp.concatenate([up * jnp.sin(half), jnp.cos(half)[None]])
+            orientation = geometry.normalize(_quat_mul(dq, orientation))
+            cycles += 1
+            if replan_every and cycles % replan_every == 0:
+                plan = self.get_path(position, goal)
+                if int(plan.outcome) == Outcome.SUCCESS:
+                    state = self.set_plan(plan)._replace(
+                        current_face=state.current_face
+                    )
+        return {
+            "outcome": Outcome.PAT_EXCEEDED, "cycles": cycles,
+            "recoveries": recoveries, "final_position": position,
+            "path_cost": float(plan.cost),
+        }
+
+    # ------------------------------------------------------------------
     # services (mesh_navigation_server.cpp:303-328)
     # ------------------------------------------------------------------
     def check_pose_cost(self, position: jax.Array) -> jax.Array:

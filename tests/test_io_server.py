@@ -157,3 +157,21 @@ def test_server_batch_planning(grid_mesh_small):
     for i in range(2):
         one = srv.get_path(starts[i], goals[i])
         np.testing.assert_allclose(float(res.cost[i]), float(one.cost), rtol=1e-5)
+
+
+def test_navigate_move_base(grid_mesh_small):
+    """MoveBase-style closed loop: plan + follow + tolerance stop."""
+    from mesh_navigation_tpu.config import ControllerConfig
+    import dataclasses as _dc
+
+    srv = _server(grid_mesh_small, "dijkstra")
+    srv.set_parameters({"controller.max_ang_velocity": 2.0})
+    start = jnp.asarray([1.0, 1.0, 0.0])
+    goal = jnp.asarray([6.0, 6.0, 0.0])
+    quat = jnp.asarray([0.0, 0.0, np.sin(np.pi / 8), np.cos(np.pi / 8)])
+    res = srv.navigate(start, quat, goal, dist_tolerance=0.5, max_cycles=512,
+                       replan_every=0)
+    assert res["outcome"] == Outcome.SUCCESS, res
+    final = np.asarray(res["final_position"])
+    assert np.linalg.norm(final - np.asarray(goal)) < 0.6
+    assert res["cycles"] > 10
