@@ -20,6 +20,8 @@ ordered.batched_field_hybrid.
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -31,7 +33,19 @@ from mesh_navigation_tpu.mesh.arrays import MeshArrays
 INF = jnp.inf
 
 
-class OffsetPlan(NamedTuple):
+import dataclasses
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("planes", "res_dst", "res_src", "res_w"),
+    meta_fields=("offsets", "coverage"),
+)
+@dataclasses.dataclass(frozen=True)
+class OffsetPlan:
+    """Offset classification of a slot-weight table. `offsets` and
+    `coverage` are static metadata (jit specializes on them — required since
+    shift amounts and kernel shapes derive from the offsets)."""
     offsets: tuple[int, ...]      # static offset classes
     planes: jax.Array             # [K, V] f32 per-class weights (inf = no edge)
     res_dst: jax.Array            # [R] i32 residual edge destinations
@@ -100,8 +114,8 @@ def batched_field_structured(
     block_sweeps: int = 16,
     max_sweeps: int = 0,
     use_pallas: bool | None = None,
-    tile: int = 512,
-    n_inner: int = 4,
+    tile: int = 0,
+    n_inner: int = 0,
     dtype=jnp.float32,
 ) -> StructuredFieldResult:
     """Batched SSSP with offset-shift sweeps + residual scatter-min; exact
@@ -119,6 +133,15 @@ def batched_field_structured(
     if max_sweeps <= 0:
         max_sweeps = 4 * V
     n_blocks = -(-max_sweeps // block_sweeps)
+    itemsize = jnp.dtype(dtype).itemsize
+    if tile <= 0:
+        # VMEM budget: 3 window blocks, double-buffered -> keep under ~10MB
+        tile = min(1024, max(256, (10 * 2**20) // (24 * B * itemsize)))
+        tile = (tile // 256) * 256
+    if n_inner <= 0:
+        # enough in-kernel iterations for a label to cross the tile
+        max_off = max((abs(o) for o in plan.offsets), default=1)
+        n_inner = int(np.clip(-(-tile // max(max_off, 1)), 2, 12))
     if use_pallas is None:
         use_pallas = (
             pallas_sweep.pallas_available()
