@@ -215,20 +215,33 @@ def batched_field_structured(
         )
 
     dist = dist.astype(jnp.float32)
-    # predecessor recovery against the converged field, slot-unrolled so no
-    # [V, D, B] buffer materializes
-    adj = mesh.adj_vertex
-    vidx = jnp.arange(V, dtype=jnp.int32)
-    best = jnp.full_like(dist, INF)
-    arg = jnp.zeros(dist.shape, jnp.int32)
-    for j in range(D):
-        cand_j = dist[adj[:, j]] + weights_vd[:, j][:, None]
-        better = cand_j < best
-        best = jnp.where(better, cand_j, best)
-        arg = jnp.where(better, j, arg)
     pred_tol = 1e-6 if dtype == jnp.float32 else 1e-2
-    has = (best <= dist * (1 + pred_tol) + pred_tol) & (dist > 0) & jnp.isfinite(dist)
-    pred = jnp.where(has, adj[vidx[:, None], arg], vidx[:, None])
+    pred = predecessors_from_field(mesh, weights_vd, dist, tol=pred_tol)
     return StructuredFieldResult(
         dist=dist.T, pred=pred.T, sweeps=sweeps_done, converged=~changed
     )
+
+
+def predecessors_from_field(
+    mesh: MeshArrays,
+    weights_vd: jax.Array,
+    dist_vb: jax.Array,
+    *,
+    tol: float = 1e-6,
+) -> jax.Array:
+    """Predecessor recovery against a converged [V, B] field, slot-unrolled
+    so no [V, D, B] buffer materializes (pred[v] = argmin_u dist[u] + w(u,v),
+    the relaxation that produced dist[v] — dijkstra_mesh_planner.cpp:320-347
+    semantics)."""
+    V, D = weights_vd.shape
+    adj = mesh.adj_vertex
+    vidx = jnp.arange(V, dtype=jnp.int32)
+    best = jnp.full_like(dist_vb, INF)
+    arg = jnp.zeros(dist_vb.shape, jnp.int32)
+    for j in range(D):
+        cand_j = dist_vb[adj[:, j]] + weights_vd[:, j][:, None]
+        better = cand_j < best
+        best = jnp.where(better, cand_j, best)
+        arg = jnp.where(better, j, arg)
+    has = (best <= dist_vb * (1 + tol) + tol) & (dist_vb > 0) & jnp.isfinite(dist_vb)
+    return jnp.where(has, adj[vidx[:, None], arg], vidx[:, None])
