@@ -99,8 +99,10 @@ class MeshNavServer:
         # the cost field; used by get_path_batch on the dijkstra planner)
         if isinstance(self.planner, DijkstraPlanner):
             self.offset_plan = self.planner.prepare_offset_plan(self.slot_weights)
+            self.banded_plan = self.planner.prepare_banded_plan(self.slot_weights)
         else:
             self.offset_plan = None
+            self.banded_plan = None
 
     def update_point_cloud(self, layer_name: str, points: jax.Array) -> None:
         """Obstacle-layer sensor update -> layer cascade re-evaluation
@@ -122,6 +124,10 @@ class MeshNavServer:
 
     def get_path_batch(self, starts: jax.Array, goals: jax.Array) -> PlanResult:
         if isinstance(self.planner, DijkstraPlanner):
+            if self.banded_plan is not None:
+                return self.planner.plan_batch_banded(
+                    self.slot_weights, self.banded_plan, starts, goals
+                )
             if self.offset_plan is not None and self.offset_plan.coverage > 0.5:
                 return self.planner.plan_batch_structured(
                     self.slot_weights, self.offset_plan, starts, goals

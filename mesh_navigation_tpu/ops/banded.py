@@ -210,11 +210,16 @@ def batched_field_banded(
     seeds: jax.Array,          # [B] i32
     *,
     max_rounds: int = 256,
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
 ) -> BandedFieldResult:
-    """Batched SSSP by banded GS rounds; exact Dijkstra fixed point.
+    """Batched SSSP by banded GS rounds.
 
     One round = down pass + up pass + residual scatter-min; convergence when
-    a round changes nothing (every edge relaxation is then satisfied).
+    no label improves by more than atol + rtol*|label| in a round (every edge
+    relaxation is then satisfied to that tolerance). atol=rtol=0 is the exact
+    Dijkstra fixed point; the defaults skip the fp32 summation-jitter tail
+    (improvements can't amplify through a relaxation).
     """
     V, D = weights_vd.shape
     B = seeds.shape[0]
@@ -244,7 +249,7 @@ def batched_field_banded(
     def body(carry):
         d, it, _ = carry
         new = one_round(d)
-        return new, it + 1, jnp.any(new < d)
+        return new, it + 1, jnp.any(new * (1.0 + rtol) + atol < d)
 
     d, rounds, changed = jax.lax.while_loop(
         cond, body, (one_round(dist0), jnp.int32(1), jnp.bool_(True))

@@ -155,6 +155,40 @@ class DijkstraPlanner:
             pred=pred,
         )
 
+    def prepare_banded_plan(self, weights_vd: jax.Array, *, min_coverage: float = 0.9):
+        """Banded kernel plan (ops/pallas_banded.py) when the vertex order has
+        usable band structure (x-major terrain grids), else None. Rebuild
+        whenever the cost field changes."""
+        from mesh_navigation_tpu.ops import pallas_banded as _pb
+
+        try:
+            plan = _pb.build_banded_kernel_plan(self.mesh, weights_vd)
+        except ValueError:
+            return None
+        return plan if plan.coverage >= min_coverage else None
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def plan_batch_banded(
+        self,
+        weights_vd: jax.Array,
+        kernel_plan,
+        starts: jax.Array,
+        goals: jax.Array,
+    ) -> PlanResult:
+        """Batch planning via banded GS fast sweeping (ops/pallas_banded.py)
+        — the fastest path on band-structured meshes: O(path winding) rounds
+        instead of O(diameter) sweeps."""
+        from mesh_navigation_tpu.ops import pallas_banded as _pb
+
+        mesh = self.mesh
+        start_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(starts)
+        goal_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(goals)
+        field = _pb.batched_field_banded_pallas(
+            mesh, weights_vd, kernel_plan, goal_v,
+            max_rounds=max(self.config.max_sweeps // 2, 64),
+        )
+        return jax.vmap(self._finish_batch)(field.dist, field.pred, start_v, goal_v)
+
     def prepare_offset_plan(self, weights_vd: jax.Array):
         """Host-side offset classification for the structured (gather-free)
         solver; rebuild whenever the cost field changes."""

@@ -45,18 +45,27 @@ def timeit(name, fn):
           f"converged={bool(np.all(out.converged))}")
     return out
 
-res_b = res_s = None
-if which in ("both", "banded"):
+res_b = res_s = res_p = None
+if which in ("both", "pallas", "all"):
+    from mesh_navigation_tpu.ops import pallas_banded
+    kplan = pallas_banded.build_banded_kernel_plan(mesh, W)
+    print(f"# kernel plan coverage {kplan.coverage:.4f} n_scan={kplan.n_scan}", file=sys.stderr)
+    fp = jax.jit(lambda s: pallas_banded.batched_field_banded_pallas(mesh, W, kplan, s))
+    res_p = timeit("pallas-banded", fp)
+if which in ("both", "banded", "all"):
     plan_b = banded.build_banded_plan(mesh, W)
     print(f"# banded coverage {plan_b.coverage:.4f} n_cols={plan_b.n_cols}", file=sys.stderr)
     fb = jax.jit(lambda s: banded.batched_field_banded(mesh, W, plan_b, s))
     res_b = timeit("banded", fb)
-if which in ("both", "structured"):
+if which in ("both", "structured", "all"):
     plan_s = structured.build_offset_plan(mesh, W)
     fs = jax.jit(lambda s: structured.batched_field_structured(mesh, W, plan_s, s, block_sweeps=16))
     res_s = timeit("structured", fs)
-if res_b is not None and res_s is not None:
-    d = np.abs(np.asarray(res_b.dist) - np.asarray(res_s.dist))
-    fin = np.isfinite(np.asarray(res_s.dist))
-    print(f"max |delta| over finite: {d[fin].max():.2e}; inf-mask match: "
-          f"{np.array_equal(fin, np.isfinite(np.asarray(res_b.dist)))}")
+ref = res_b if res_b is not None else res_s
+for name, other in (("structured", res_s), ("pallas", res_p)):
+    if ref is None or other is None or other is ref:
+        continue
+    d = np.abs(np.asarray(ref.dist) - np.asarray(other.dist))
+    fin = np.isfinite(np.asarray(ref.dist))
+    print(f"{name} vs ref: max |delta| over finite: {d[fin].max():.2e}; "
+          f"inf-mask match: {np.array_equal(fin, np.isfinite(np.asarray(other.dist)))}")

@@ -1,0 +1,128 @@
+"""Pallas banded GS kernel vs Dijkstra oracle (interpret mode on CPU) —
+fixed-point parity, pred validity, and agreement with the scan solver.
+
+Meshes are deliberately tiny: interpret-mode Pallas compiles slowly, and the
+kernel unrolls row blocks."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mesh_navigation_tpu.mesh import build_mesh, synthetic
+from mesh_navigation_tpu.ops import banded, pallas_banded, sweeps
+from mesh_navigation_tpu.utils import oracle
+
+
+def _weights(mesh, costs, cost_limit=1.0, edge_cost_factor=1.0):
+    ew = sweeps.compute_edge_weights(mesh, jnp.asarray(costs), edge_cost_factor)
+    W = sweeps.slot_weights(mesh, ew, jnp.asarray(costs), cost_limit)
+    return ew, W
+
+
+def _oracle(mesh, ew, costs, seed, cost_limit=1.0):
+    adj = oracle.mesh_adjacency(mesh)
+    od, _ = oracle.dijkstra_oracle(
+        mesh.num_vertices, adj, np.asarray(ew), np.asarray(costs), seed, cost_limit
+    )
+    return od
+
+
+def _terrain16():
+    v, f = synthetic.terrain_mesh(16, 16, spacing=0.5, hills=1.5, roughness=0.02, seed=3)
+    return build_mesh(v, f)
+
+
+def test_chain_weights_match_scan():
+    """Precomputed A_k chains must equal k-fold composition of the lateral
+    planes (spot-check k=2, fwd)."""
+    m = _terrain16()
+    costs = np.zeros(m.num_vertices, np.float32)
+    _, W = _weights(m, costs)
+    kp = pallas_banded.build_banded_kernel_plan(m, W)
+    base = banded.build_banded_plan(m, W)
+    lat = np.asarray(base.lat_fwd)
+    a1 = np.asarray(kp.a_fwd[:, 0, :])[:, : base.n_cols]
+    np.testing.assert_allclose(a1, lat)
+    a2 = np.asarray(kp.a_fwd[:, 1, :])[:, : base.n_cols]
+    expect = np.full_like(lat, np.inf)
+    expect[:, 2:] = lat[:, 1:-1] + lat[:, 2:]
+    np.testing.assert_allclose(a2, expect)
+
+
+def test_flat_grid_exact(grid_mesh_small):
+    m = grid_mesh_small
+    costs = np.zeros(m.num_vertices, np.float32)
+    ew, W = _weights(m, costs, edge_cost_factor=0.0)
+    plan = pallas_banded.build_banded_kernel_plan(m, W)
+    seeds = jnp.asarray([0, 37, 63], jnp.int32)
+    res = pallas_banded.batched_field_banded_pallas(m, W, plan, seeds)
+    assert bool(res.converged)
+    for b, s in enumerate([0, 37, 63]):
+        od = _oracle(m, ew, costs, s)
+        np.testing.assert_allclose(np.asarray(res.dist[b]), od, rtol=1e-4, atol=1e-4)
+
+
+def test_terrain_parity_and_pred_validity():
+    m = _terrain16()
+    rng = np.random.default_rng(1)
+    costs = rng.uniform(0.0, 0.8, m.num_vertices).astype(np.float32)
+    ew, W = _weights(m, costs)
+    kplan = pallas_banded.build_banded_kernel_plan(m, W)
+    seeds_l = [17, 100, 255, 40]
+    res = pallas_banded.batched_field_banded_pallas(
+        m, W, kplan, jnp.asarray(seeds_l, jnp.int32)
+    )
+    assert bool(res.converged)
+    Wn = np.asarray(W)
+    adjn = np.asarray(m.adj_vertex)
+    for b, s in enumerate(seeds_l):
+        od = _oracle(m, ew, costs, s)
+        got = np.asarray(res.dist[b])
+        np.testing.assert_allclose(got, od, rtol=1e-3, atol=1e-4)
+        # predecessor validity: dist[pred] + w(pred, v) == dist[v]
+        pred = np.asarray(res.pred[b])
+        for v in range(m.num_vertices):
+            if not np.isfinite(got[v]) or v == s:
+                continue
+            p = pred[v]
+            assert p != v, f"vertex {v} has self pred but finite dist"
+            slots = np.nonzero(adjn[v] == p)[0]
+            w = Wn[v, slots].min()
+            assert abs(got[p] + w - got[v]) < 1e-3
+        assert pred[s] == s
+
+
+def test_obstacle_maze_exact():
+    """Walls force multi-round convergence; unreachable side must stay inf."""
+    n = 24
+    v, f = synthetic.terrain_mesh(n, n, spacing=0.5, hills=1.0, seed=2)
+    m = build_mesh(v, f)
+    costs = np.zeros(m.num_vertices, np.float32)
+    costs[np.arange(8 * n, 8 * n + n - 6)] = np.inf
+    costs[np.arange(16 * n + 6, 17 * n)] = np.inf
+    ew, W = _weights(m, costs, cost_limit=1.0)
+    plan = pallas_banded.build_banded_kernel_plan(m, W)
+    seeds = jnp.asarray([0, n * n - 1], jnp.int32)
+    res = pallas_banded.batched_field_banded_pallas(m, W, plan, seeds)
+    assert bool(res.converged)
+    for b, s in enumerate([0, n * n - 1]):
+        od = _oracle(m, ew, costs, s, 1.0)
+        got = np.asarray(res.dist[b])
+        fin = np.isfinite(od)
+        assert np.array_equal(fin, np.isfinite(got))
+        np.testing.assert_allclose(got[fin], od[fin], rtol=1e-3, atol=1e-4)
+
+
+def test_truncated_scan_same_fixed_point():
+    """Scan depth is a speed knob, not a correctness knob: depth 2 must reach
+    the same fixed point (in more rounds)."""
+    m = _terrain16()
+    costs = np.zeros(m.num_vertices, np.float32)
+    ew, W = _weights(m, costs)
+    plan = pallas_banded.build_banded_kernel_plan(m, W, n_scan=2)
+    assert plan.n_scan == 2
+    seeds = jnp.asarray([17, 200], jnp.int32)
+    res = pallas_banded.batched_field_banded_pallas(m, W, plan, seeds)
+    assert bool(res.converged)
+    for b, s in enumerate([17, 200]):
+        od = _oracle(m, ew, costs, s)
+        np.testing.assert_allclose(np.asarray(res.dist[b]), od, rtol=1e-3, atol=1e-4)
