@@ -103,18 +103,46 @@ class MeshController:
     ) -> tuple[VelocityCommand, ControllerState]:
         """One control cycle (MeshController::computeVelocityCommands,
         mesh_controller.cpp:67-170)."""
-        cfg = self.config
-        mesh = self.mesh
-        robot_dir = geometry.direction_from_pose(orientation)
+        fix = tracking.locate(
+            self.mesh, self.grid, position, state.current_face,
+            max_dist=self.config.max_search_distance,
+        )
+        raw_dir = tracking.direction_at(self.mesh, vector_map, fix.face, fix.bary)
+        return self._finish_velocity(fix, raw_dir, vertex_costs, orientation, state)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def compute_velocity_pred(
+        self,
+        pred: jax.Array,          # [V] i32 predecessor map (Dijkstra field)
+        vertex_costs: jax.Array,
+        position: jax.Array,
+        orientation: jax.Array,
+        state: ControllerState,
+    ) -> tuple[VelocityCommand, ControllerState]:
+        """Control cycle sampling the direction field directly from the
+        predecessor map (normalize(pos[pred]-pos), the Dijkstra vector-map
+        definition, dijkstra_mesh_planner.cpp:189-209) at just the tracked
+        face's vertices — the large-mesh path where materializing a per-
+        scenario [V, 3] field (3 GB at 1M x 256) is off the table."""
+        from mesh_navigation_tpu.ops import sweeps as _sweeps
 
         fix = tracking.locate(
-            mesh, self.grid, position, state.current_face,
-            max_dist=cfg.max_search_distance,
+            self.mesh, self.grid, position, state.current_face,
+            max_dist=self.config.max_search_distance,
         )
-        raw_dir = tracking.direction_at(mesh, vector_map, fix.face, fix.bary)
+        vids = self.mesh.faces[jnp.maximum(fix.face, 0)]
+        rows = _sweeps.vector_rows_from_predecessors(self.mesh, pred, vids)
+        raw_dir = geometry.bary_interpolate(rows, fix.bary)
+        return self._finish_velocity(fix, raw_dir, vertex_costs, orientation, state)
+
+    def _finish_velocity(
+        self, fix, raw_dir, vertex_costs, orientation, state
+    ) -> tuple[VelocityCommand, ControllerState]:
+        cfg = self.config
+        robot_dir = geometry.direction_from_pose(orientation)
         mesh_dir = geometry.normalize(raw_dir)
         has_dir = jnp.linalg.norm(raw_dir) > 1e-9
-        cost = tracking.cost_at(mesh, vertex_costs, fix.face, fix.bary)
+        cost = tracking.cost_at(self.mesh, vertex_costs, fix.face, fix.bary)
         # the control-plane normal is the robot's own up axis
         # (mesh_controller.cpp:158: poseToDirectionVector(pose, (0,0,1)))
         up = geometry.direction_from_pose(

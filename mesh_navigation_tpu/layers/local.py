@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from mesh_navigation_tpu.config import LayerConfig
 from mesh_navigation_tpu.layers.base import LayerOutput, register_layer, zero_vectors
-from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh.arrays import MeshArrays, host_array
 
 INF = jnp.inf
 
@@ -37,13 +37,13 @@ def radius_neighborhood(mesh: MeshArrays, radius: float) -> tuple[np.ndarray, np
         from mesh_navigation_tpu import native as _native
 
         if _native.available():
-            nm = _native.NativeMesh(np.asarray(mesh.vertices), np.asarray(mesh.faces))
+            nm = _native.NativeMesh(host_array(mesh, "vertices"), host_array(mesh, "faces"))
             return nm.radius_neighborhood(float(radius))
     except Exception:
         pass
-    pos = np.asarray(mesh.vertices)
-    adj = np.asarray(mesh.adj_vertex)
-    amask = np.asarray(mesh.adj_mask)
+    pos = host_array(mesh, "vertices")
+    adj = host_array(mesh, "adj_vertex")
+    amask = host_array(mesh, "adj_mask")
     V = len(pos)
     r2 = radius * radius
     rows: list[list[int]] = []

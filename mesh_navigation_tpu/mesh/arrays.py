@@ -24,6 +24,34 @@ import jax.numpy as jnp
 
 INVALID = np.int32(-1)
 
+# ---------------------------------------------------------------------------
+# Host mirrors. Plan/grid builders need numpy views of the mesh tables, but
+# device->host reads over a tunneled TPU backend are catastrophically slow
+# (measured 0.2 MB/s on axon vs 110 MB/s host->device). Since every mesh is
+# built on the host anyway, build_mesh registers its numpy arrays here and
+# `host_array()` serves them back without touching the device. Fallback pulls
+# (for meshes not built through build_mesh) are cached so each field is
+# transferred at most once.
+# ---------------------------------------------------------------------------
+_HOST_TABLES: dict[int, dict[str, np.ndarray]] = {}
+
+
+def _mesh_key(mesh: "MeshArrays") -> int:
+    return id(mesh.vertices)
+
+
+def register_host_arrays(mesh: "MeshArrays", arrays: dict[str, np.ndarray]) -> None:
+    _HOST_TABLES.setdefault(_mesh_key(mesh), {}).update(arrays)
+
+
+def host_array(mesh: "MeshArrays", name: str) -> np.ndarray:
+    """Numpy mirror of a MeshArrays field, avoiding device->host transfers
+    whenever the mesh was built on the host (always true for build_mesh/io)."""
+    cache = _HOST_TABLES.setdefault(_mesh_key(mesh), {})
+    if name not in cache:
+        cache[name] = np.asarray(getattr(mesh, name))
+    return cache[name]
+
 
 def _pad_rows(rows: list[np.ndarray], pad_value: int, min_width: int = 1) -> tuple[np.ndarray, np.ndarray]:
     """Pad a ragged list of int arrays into a dense [N, D] matrix + mask."""
@@ -247,26 +275,33 @@ def build_mesh(
         face_normals = np.zeros((0, 3), np.float32)
         vertex_normals = np.tile(np.array([0, 0, 1], np.float32), (V, 1))
 
-    as_j = jnp.asarray
-    return MeshArrays(
-        vertices=as_j(vertices),
-        faces=as_j(faces),
-        edges=as_j(edges.astype(np.int32)),
-        edge_dist=as_j(edge_dist),
-        face_normals=as_j(face_normals),
-        vertex_normals=as_j(vertex_normals),
-        adj_vertex=as_j(adj_vertex),
-        adj_edge=as_j(adj_edge),
-        adj_mask=as_j(adj_mask),
-        vertex_faces=as_j(vertex_faces),
-        vertex_face_corner=as_j(vertex_face_corner),
-        vertex_faces_mask=as_j(vertex_faces_mask),
-        face_edges=as_j(face_edges),
-        face_neighbors=as_j(face_neighbors),
-        face_neighbors_mask=as_j(face_neighbors_mask),
-        boundary_vertex=as_j(boundary_vertex),
-        invalid=as_j(invalid),
+    return _finalize_mesh(
+        vertices=vertices,
+        faces=faces,
+        edges=edges.astype(np.int32),
+        edge_dist=edge_dist,
+        face_normals=face_normals,
+        vertex_normals=vertex_normals,
+        adj_vertex=adj_vertex,
+        adj_edge=adj_edge,
+        adj_mask=adj_mask,
+        vertex_faces=vertex_faces,
+        vertex_face_corner=vertex_face_corner,
+        vertex_faces_mask=vertex_faces_mask,
+        face_edges=face_edges,
+        face_neighbors=face_neighbors,
+        face_neighbors_mask=face_neighbors_mask,
+        boundary_vertex=boundary_vertex,
+        invalid=invalid,
     )
+
+
+def _finalize_mesh(**np_arrays: np.ndarray) -> MeshArrays:
+    """Upload the host tables, then register the numpy originals as host
+    mirrors (host_array) so downstream plan builders never read back."""
+    mesh = MeshArrays(**{k: jnp.asarray(v) for k, v in np_arrays.items()})
+    register_host_arrays(mesh, np_arrays)
+    return mesh
 
 
 def _compute_normals(
@@ -334,23 +369,22 @@ def _build_mesh_native(vertices: np.ndarray, faces: np.ndarray) -> MeshArrays:
     face_neighbors, face_neighbors_mask = _face_neighbors_from_edges(
         t["face_edges"], nm.E
     )
-    as_j = jnp.asarray
-    return MeshArrays(
-        vertices=as_j(vertices),
-        faces=as_j(t["faces"]),
-        edges=as_j(t["edges"]),
-        edge_dist=as_j(t["edge_dist"]),
-        face_normals=as_j(face_normals),
-        vertex_normals=as_j(vertex_normals),
-        adj_vertex=as_j(t["adj_vertex"]),
-        adj_edge=as_j(t["adj_edge"]),
-        adj_mask=as_j(t["adj_mask"].astype(bool)),
-        vertex_faces=as_j(t["vf_face"]),
-        vertex_face_corner=as_j(t["vf_corner"]),
-        vertex_faces_mask=as_j(t["vf_mask"].astype(bool)),
-        face_edges=as_j(t["face_edges"]),
-        face_neighbors=as_j(face_neighbors),
-        face_neighbors_mask=as_j(face_neighbors_mask),
-        boundary_vertex=as_j(t["boundary"].astype(bool)),
-        invalid=as_j(t["invalid"].astype(bool)),
+    return _finalize_mesh(
+        vertices=vertices,
+        faces=t["faces"],
+        edges=t["edges"],
+        edge_dist=t["edge_dist"],
+        face_normals=face_normals,
+        vertex_normals=vertex_normals,
+        adj_vertex=t["adj_vertex"],
+        adj_edge=t["adj_edge"],
+        adj_mask=t["adj_mask"].astype(bool),
+        vertex_faces=t["vf_face"],
+        vertex_face_corner=t["vf_corner"],
+        vertex_faces_mask=t["vf_mask"].astype(bool),
+        face_edges=t["face_edges"],
+        face_neighbors=face_neighbors,
+        face_neighbors_mask=face_neighbors_mask,
+        boundary_vertex=t["boundary"].astype(bool),
+        invalid=t["invalid"].astype(bool),
     )

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh.arrays import MeshArrays, host_array
 from mesh_navigation_tpu.mesh import geometry
 
 
@@ -35,9 +35,9 @@ class SpatialGrid:
 
 def build_grid(mesh: MeshArrays, cell_size: float | None = None) -> SpatialGrid:
     """Host-side grid build. Default cell size ≈ 2x mean edge length."""
-    pos = np.asarray(mesh.vertices)
+    pos = host_array(mesh, "vertices")
     if cell_size is None:
-        ed = np.asarray(mesh.edge_dist)
+        ed = host_array(mesh, "edge_dist")
         cell_size = 2.0 * float(ed.mean()) if len(ed) else 1.0
     origin = pos.min(axis=0) - 1e-4
     extent = pos.max(axis=0) - origin + 1e-3

@@ -43,7 +43,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh.arrays import MeshArrays, host_array
 
 INF = jnp.inf
 
@@ -77,10 +77,10 @@ class BandedPlan:
 def infer_band_width(mesh: MeshArrays) -> int:
     """Most common |offset| > 2 in the adjacency — the grid minor-axis length
     for x-major terrain meshes."""
-    adj = np.asarray(mesh.adj_vertex)
+    adj = host_array(mesh, "adj_vertex")
     V = adj.shape[0]
     delta = np.abs(adj - np.arange(V)[:, None])
-    mask = np.asarray(mesh.adj_mask) & (delta > 2)
+    mask = host_array(mesh, "adj_mask") & (delta > 2)
     if not mask.any():
         return 0
     vals, cnts = np.unique(delta[mask], return_counts=True)
@@ -95,7 +95,7 @@ def build_banded_plan(
 ) -> BandedPlan:
     """Host-side classification of the slot-weight table into the six banded
     offset classes (+ residual COO)."""
-    adj = np.asarray(mesh.adj_vertex)
+    adj = host_array(mesh, "adj_vertex")
     W = np.asarray(weights_vd)
     V, D = adj.shape
     if n_cols <= 0:
@@ -107,7 +107,7 @@ def build_banded_plan(
     Vp = n_rows * n
 
     delta = adj - np.arange(V)[:, None]
-    usable = np.isfinite(W) & np.asarray(mesh.adj_mask)
+    usable = np.isfinite(W) & host_array(mesh, "adj_mask")
 
     def plane(off: int) -> np.ndarray:
         p = np.full(Vp, np.inf, np.float32)

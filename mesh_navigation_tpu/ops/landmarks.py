@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh.arrays import MeshArrays, host_array
 
 INF = jnp.inf
 
@@ -52,7 +52,7 @@ class LandmarkTable(NamedTuple):
 def select_landmarks(mesh: MeshArrays, num_landmarks: int) -> np.ndarray:
     """Spatially-stratified landmark choice: hash vertices into ~L cells,
     pick the vertex nearest each occupied cell center."""
-    pos = np.asarray(mesh.vertices)
+    pos = host_array(mesh, "vertices")
     V = len(pos)
     num_landmarks = min(num_landmarks, V)
     lo = pos.min(0)
@@ -141,7 +141,7 @@ def build_landmarks(
     # coarse cut-edge reduction (host; runs once per cost-field update)
     lab = np.asarray(label)
     A = np.asarray(dist)
-    edges = np.asarray(mesh.edges)
+    edges = host_array(mesh, "edges")
     ew = np.asarray(edge_weights)
     lu, lv = lab[edges[:, 0]], lab[edges[:, 1]]
     cut = (lu != lv) & np.isfinite(ew) & np.isfinite(A[edges[:, 0]]) & np.isfinite(A[edges[:, 1]])

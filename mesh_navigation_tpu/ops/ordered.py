@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh.arrays import MeshArrays, host_array
 
 INF = jnp.inf
 
@@ -49,7 +49,7 @@ def build_sweep_plan(
     """Host-side: sort vertices along signed coordinate keys (the FSM
     ordering family). `chunk` defaults to ~sqrt(V) rounded to the VPU lane
     width — about one geometric row per chunk."""
-    pos = np.asarray(mesh.vertices)
+    pos = host_array(mesh, "vertices")
     V = len(pos)
     if chunk <= 0:
         chunk = max(64, int(8 * round(np.sqrt(V) / 8)))

@@ -56,6 +56,7 @@ def _round_up(x: int, m: int) -> int:
     jax.tree_util.register_dataclass,
     data_fields=(
         "down", "up", "a_fwd", "a_bwd", "res_dst", "res_src", "res_w",
+        "slot_map", "res_slot",
     ),
     meta_fields=("n_rows", "n_cols", "n_cols_pad", "n_scan", "coverage", "num_vertices"),
 )
@@ -65,6 +66,12 @@ class BandedKernelPlan:
 
     All planes live on the padded [R, Cp] grid (inf in padding columns/rows);
     residual edge indices are remapped to padded flat ids r * Cp + c.
+
+    The *structure* (slot_map, residual indices) depends only on the mesh
+    adjacency, not on the weight values: lethal/inf weights flow through the
+    planes as +inf. `refresh_banded_planes` therefore re-derives all weight
+    planes on device from a new [V, D] slot-weight table — the live-replan
+    path (cost layers change -> new edge weights) with zero host round trips.
     """
     n_rows: int          # R (unpadded; kernel pads to the row-block multiple)
     n_cols: int          # C original
@@ -81,74 +88,162 @@ class BandedKernelPlan:
     res_dst: jax.Array   # [Rz] i32 padded flat ids
     res_src: jax.Array   # [Rz] i32 padded flat ids
     res_w: jax.Array     # [Rz] f32
+    # class order: 0=lat_fwd(-1), 1=lat_bwd(+1), 2..4=down(s=-1,0,+1),
+    # 5..7=up(s=-1,0,+1); -1 = vertex has no edge in that class
+    slot_map: jax.Array  # [8, V] i32 adjacency slot of each class edge
+    res_slot: jax.Array  # [Rz] i32 adjacency slot of each residual edge (-1 pad)
+
+
+def _class_offsets(n: int) -> list[int]:
+    """Banded class order (must match BandedKernelPlan.slot_map docs and the
+    down/up plane lane order s = -1, 0, +1)."""
+    return [-1, +1, -(n + 1), -n, -(n - 1), n - 1, n, n + 1]
+
+
+def _chain_weights(lat_fwd, lat_bwd, n_scan, xp=np):
+    """Min-plus scan chain weights from the +-1 lateral planes ([R, Cp]).
+    A_f[s][c] = cost of the lateral chain (c - 2^s) -> c; inf where the chain
+    leaves the row (so wrapped/rolled reads never propagate)."""
+    def shift_d(x, k):  # result[c] = x[c-k], inf fill
+        fill = xp.full(x.shape[:-1] + (k,), np.inf, x.dtype)
+        return xp.concatenate([fill, x[..., :-k]], axis=-1)
+
+    def shift_u(x, k):
+        fill = xp.full(x.shape[:-1] + (k,), np.inf, x.dtype)
+        return xp.concatenate([x[..., k:], fill], axis=-1)
+
+    a_fwd = [lat_fwd]
+    a_bwd = [lat_bwd]
+    for s in range(1, n_scan):
+        k = 1 << (s - 1)
+        a_fwd.append(shift_d(a_fwd[-1], k) + a_fwd[-1])
+        a_bwd.append(shift_u(a_bwd[-1], k) + a_bwd[-1])
+    return xp.stack(a_fwd, axis=1), xp.stack(a_bwd, axis=1)   # [R, S, Cp]
 
 
 def build_banded_kernel_plan(
     mesh: MeshArrays,
-    weights_vd: jax.Array,
+    weights_vd,
     *,
     n_cols: int = 0,
     n_scan: int = 0,
 ) -> BandedKernelPlan:
-    """Host-side: classify slot weights into banded planes on the padded 2D
-    grid and precompute the min-plus scan chain weights."""
-    base = _banded.build_banded_plan(mesh, weights_vd, n_cols=n_cols)
-    R, C = base.n_rows, base.n_cols
-    Cp = _round_up(C, 8)
-    V = mesh.num_vertices
+    """Host-side: classify the adjacency into the eight banded offset classes
+    (slot_map), derive the weight planes + min-plus chain weights, and remap
+    residual edges to the padded grid.
+
+    `weights_vd` may be a numpy array (preferred at scale — see
+    sweeps.slot_weights_np; a device array costs a device->host pull here).
+    The classification itself is weight-independent, so a cost change only
+    needs `refresh_banded_planes` (on device), not a rebuild.
+    """
+    from mesh_navigation_tpu.mesh.arrays import host_array
+
+    adj = host_array(mesh, "adj_vertex")
+    mask = host_array(mesh, "adj_mask")
+    W = np.asarray(weights_vd)
+    V, D = adj.shape
+    if n_cols <= 0:
+        n_cols = _banded.infer_band_width(mesh)
+    if n_cols <= 0:
+        raise ValueError("mesh has no band structure")
+    n = n_cols
+    R = -(-V // n)
+    Cp = _round_up(n, 8)
     if n_scan <= 0:
-        n_scan = max(1, int(np.ceil(np.log2(C))))
+        n_scan = max(1, int(np.ceil(np.log2(n))))
 
-    def pad_cols(p):  # [.., R, C] -> [.., R, Cp]
-        arr = np.asarray(p)
-        padw = [(0, 0)] * (arr.ndim - 1) + [(0, Cp - C)]
-        return np.pad(arr, padw, constant_values=np.inf)
+    delta = adj - np.arange(V, dtype=np.int64)[:, None]
+    offsets = _class_offsets(n)
+    slot_map = np.full((8, V), -1, np.int32)
+    covered = np.zeros((V, D), bool)
+    for k, off in enumerate(offsets):
+        hit = (delta == off) & mask
+        rows, slots = np.nonzero(hit)
+        slot_map[k, rows] = slots
+        covered |= hit
 
-    down = pad_cols(base.down)
-    up = pad_cols(base.up)
-    lat_fwd = pad_cols(base.lat_fwd)   # [R, Cp] w((r,c-1) -> (r,c))
-    lat_bwd = pad_cols(base.lat_bwd)
+    def plane(k):
+        sm = slot_map[k]
+        w = np.where(sm >= 0, W[np.arange(V), np.maximum(sm, 0)], np.inf)
+        p = np.full(R * n, np.inf, np.float32)
+        p[:V] = w
+        return np.pad(p.reshape(R, n), ((0, 0), (0, Cp - n)), constant_values=np.inf)
 
-    # chain weights: A_f[s][c] = cost of the lateral chain (c - 2^s) -> c.
-    # A_f[0] = lat_fwd; A_f[s+1][c] = A_f[s][c - 2^s] + A_f[s][c].
-    a_fwd = np.full((n_scan, R, Cp), np.inf, np.float32)
-    a_bwd = np.full((n_scan, R, Cp), np.inf, np.float32)
-    a_fwd[0], a_bwd[0] = lat_fwd, lat_bwd
+    lat_fwd, lat_bwd = plane(0), plane(1)
+    down = np.stack([plane(2), plane(3), plane(4)], axis=1)   # [R, 3, Cp]
+    up = np.stack([plane(5), plane(6), plane(7)], axis=1)
+    a_fwd, a_bwd = _chain_weights(lat_fwd, lat_bwd, n_scan)   # [R, S, Cp]
 
-    def shift_d(x, k):  # result[c] = x[c-k], inf fill
-        out = np.full_like(x, np.inf)
-        out[:, k:] = x[:, :-k]
-        return out
-
-    def shift_u(x, k):
-        out = np.full_like(x, np.inf)
-        out[:, :-k] = x[:, k:]
-        return out
-
-    for s in range(1, n_scan):
-        k = 1 << (s - 1)
-        a_fwd[s] = shift_d(a_fwd[s - 1], k) + a_fwd[s - 1]
-        a_bwd[s] = shift_u(a_bwd[s - 1], k) + a_bwd[s - 1]
-
-    # residual ids flat on the ORIGINAL C; remap to the padded grid
-    def remap(flat):
-        flat = np.asarray(flat)
-        return (flat // C) * Cp + (flat % C)
+    # residual: structural leftovers (edges outside the eight classes)
+    rows, slots = np.nonzero(mask & ~covered)
+    coverage = 1.0 - len(rows) / max(mask.sum(), 1)
+    Rz = max(8, -(-len(rows) // 8) * 8)
+    res_dst = np.zeros(Rz, np.int32)
+    res_src = np.zeros(Rz, np.int32)
+    res_slot = np.full(Rz, -1, np.int32)
+    res_w = np.full(Rz, np.inf, np.float32)
+    srcs = adj[rows, slots]
+    res_dst[: len(rows)] = (rows // n) * Cp + rows % n
+    res_src[: len(rows)] = (srcs // n) * Cp + srcs % n
+    res_slot[: len(rows)] = slots
+    res_w[: len(rows)] = W[rows, slots]
 
     return BandedKernelPlan(
         n_rows=R,
-        n_cols=C,
+        n_cols=n,
         n_cols_pad=Cp,
         n_scan=n_scan,
-        coverage=base.coverage,
+        coverage=float(coverage),
         num_vertices=V,
-        down=jnp.asarray(np.moveaxis(down, 0, 1), jnp.float32),
-        up=jnp.asarray(np.moveaxis(up, 0, 1), jnp.float32),
-        a_fwd=jnp.asarray(np.moveaxis(a_fwd, 0, 1)),
-        a_bwd=jnp.asarray(np.moveaxis(a_bwd, 0, 1)),
-        res_dst=jnp.asarray(remap(base.res_dst), jnp.int32),
-        res_src=jnp.asarray(remap(base.res_src), jnp.int32),
-        res_w=base.res_w,
+        down=jnp.asarray(down, jnp.float32),
+        up=jnp.asarray(up, jnp.float32),
+        a_fwd=jnp.asarray(a_fwd, jnp.float32),
+        a_bwd=jnp.asarray(a_bwd, jnp.float32),
+        res_dst=jnp.asarray(res_dst),
+        res_src=jnp.asarray(res_src),
+        res_w=jnp.asarray(res_w),
+        slot_map=jnp.asarray(slot_map),
+        res_slot=jnp.asarray(res_slot),
+    )
+
+
+def refresh_banded_planes(
+    plan: BandedKernelPlan, weights_vd: jax.Array
+) -> BandedKernelPlan:
+    """Re-derive all weight planes from a new [V, D] slot-weight table — on
+    device, jittable. This is the live-replan path: when cost layers change
+    (obstacle/inflation cascade -> new edge weights, SURVEY.md §3.5) the
+    banded solve stays available without any host round trip. The static
+    classification (slot_map, residual indices) is reused; lethal edges show
+    up as +inf plane entries exactly as in a host rebuild."""
+    V = plan.num_vertices
+    R, C, Cp, S = plan.n_rows, plan.n_cols, plan.n_cols_pad, plan.n_scan
+    W = weights_vd
+
+    def plane(k):
+        sm = plan.slot_map[k]
+        w = jnp.where(
+            sm >= 0,
+            jnp.take_along_axis(W, jnp.maximum(sm, 0)[:, None], axis=1)[:, 0],
+            INF,
+        ).astype(jnp.float32)
+        p = jnp.full((R * C,), INF, jnp.float32).at[:V].set(w).reshape(R, C)
+        return jnp.pad(p, ((0, 0), (0, Cp - C)), constant_values=INF)
+
+    lat_fwd, lat_bwd = plane(0), plane(1)
+    down = jnp.stack([plane(2), plane(3), plane(4)], axis=1)
+    up = jnp.stack([plane(5), plane(6), plane(7)], axis=1)
+    a_fwd, a_bwd = _chain_weights(lat_fwd, lat_bwd, S, xp=jnp)
+
+    res_v = (plan.res_dst // Cp) * C + plan.res_dst % Cp
+    res_w = jnp.where(
+        plan.res_slot >= 0,
+        W[res_v, jnp.maximum(plan.res_slot, 0)],
+        INF,
+    ).astype(jnp.float32)
+    return dataclasses.replace(
+        plan, down=down, up=up, a_fwd=a_fwd, a_bwd=a_bwd, res_w=res_w
     )
 
 
@@ -270,16 +365,17 @@ def _directional_pass_pallas(
     return out, chg[0, 0] > 0
 
 
-def _pick_blocks(Cp: int, *, vmem_total: int = 15 << 20):
+def _pick_blocks(Cp: int, *, vmem_total: int = 15 << 20, dtype=jnp.float32):
     """Row-block / batch-block sizes under the 16M VMEM limit. Budget model
     (validated against Mosaic's scoped-vmem accounting at Cp=1024): dist
     blocks are double-buffered in AND out (4 copies), and the unrolled
-    per-row compute keeps ~16 [Cp, bb] f32 temporaries on the scoped stack."""
+    per-row compute keeps ~16 [Cp, bb] temporaries on the scoped stack."""
     bb = 128
-    temp_estimate = 16 * Cp * bb * 4
+    itemsize = jnp.dtype(dtype).itemsize
+    temp_estimate = 16 * Cp * bb * itemsize
     budget = vmem_total - temp_estimate - (1 << 20)  # planes + scratch slack
     for rb in (16, 8, 4, 2, 1):
-        if 4 * rb * Cp * bb * 4 <= budget:
+        if 4 * rb * Cp * bb * itemsize <= budget:
             return rb, bb
     return 1, bb
 
@@ -289,13 +385,34 @@ def predecessors_banded(
     dist_vb: jax.Array,      # [V, B] converged field
     *,
     tol: float = 1e-5,
+    max_lanes: int = 0,
 ) -> jax.Array:
     """Gather-free predecessor recovery: argmin over the eight banded offset
     classes via dense rolls (+ tiny residual scatter). Same contract as
     structured.predecessors_from_field (pred[v] = argmin_u dist[u] + w(u,v),
     dijkstra_mesh_planner.cpp:320-347) but ~35x faster at 262k vertices —
-    slot gathers over [V, B] were costing 35x the entire field solve."""
+    slot gathers over [V, B] were costing 35x the entire field solve.
+
+    The recovery keeps ~6 [V, lanes] live buffers; `max_lanes` caps the batch
+    lanes processed at once so peak memory stays bounded at 1M+ vertices
+    (default: whatever keeps the live set under ~2 GB)."""
     V, B = dist_vb.shape
+    if max_lanes <= 0:
+        max_lanes = max(32, min(B, (2 << 30) // max(24 * V, 1) // 32 * 32))
+    if B > max_lanes:
+        n_chunks = -(-B // max_lanes)
+        parts = [
+            predecessors_banded(
+                plan,
+                jax.lax.dynamic_slice_in_dim(
+                    dist_vb, i * max_lanes, min(max_lanes, B - i * max_lanes), 1
+                ),
+                tol=tol,
+                max_lanes=max_lanes,
+            )
+            for i in range(n_chunks)
+        ]
+        return jnp.concatenate(parts, axis=1)
     R, C, Cp = plan.n_rows, plan.n_cols, plan.n_cols_pad
     d = jnp.pad(dist_vb, ((0, R * C - V), (0, 0)), constant_values=INF)
     d3 = d.reshape(R, C, B)
@@ -342,6 +459,56 @@ def predecessors_banded(
     return pred[:, :C, :].reshape(R * C, B)[:V]
 
 
+class PaddedProblem(NamedTuple):
+    """Block-padded field + planes for the directional pass (shared by the
+    solver and scripts/debug_pallas_banded.py so the grid layout and inf
+    padding live in exactly one place)."""
+    d0: jax.Array        # [Rp, Cp, Bp] seeded distance field
+    down: jax.Array      # [Rp, 3, Cp]
+    up: jax.Array        # [Rp, 3, Cp]
+    a_fwd: jax.Array     # [Rp, S, Cp]
+    a_bwd: jax.Array     # [Rp, S, Cp]
+    rb: int
+    bb: int
+
+
+def prepare_padded(
+    plan: BandedKernelPlan,
+    seeds: jax.Array,
+    *,
+    rb: int = 0,
+    bb: int = 0,
+    dtype=jnp.float32,
+) -> PaddedProblem:
+    """Pad the plan's planes to the row-block multiple and seed the padded
+    [Rp, Cp, Bp] distance field (padding rows/lanes stay all-inf)."""
+    B = seeds.shape[0]
+    R, C, Cp = plan.n_rows, plan.n_cols, plan.n_cols_pad
+    if rb <= 0 or bb <= 0:
+        rb, bb = _pick_blocks(Cp, dtype=dtype)
+    Rp = _round_up(R, rb)
+    Bp = _round_up(B, bb)
+
+    def pad_rows(p):  # [R, .., Cp] -> [Rp, .., Cp] inf rows
+        padw = [(0, Rp - R)] + [(0, 0)] * (p.ndim - 1)
+        return jnp.pad(p, padw, constant_values=INF).astype(dtype)
+
+    rows = seeds // C
+    cols = seeds % C
+    flat_pad = rows * Cp + cols
+    d0 = jnp.full((Rp * Cp, Bp), INF, dtype)
+    d0 = d0.at[flat_pad, jnp.arange(B)].set(0.0)
+    return PaddedProblem(
+        d0=d0.reshape(Rp, Cp, Bp),
+        down=pad_rows(plan.down),
+        up=pad_rows(plan.up),
+        a_fwd=pad_rows(plan.a_fwd),
+        a_bwd=pad_rows(plan.a_bwd),
+        rb=rb,
+        bb=bb,
+    )
+
+
 class BandedPallasResult(NamedTuple):
     dist: jax.Array       # [B, V]
     pred: jax.Array       # [B, V]
@@ -359,6 +526,7 @@ def batched_field_banded_pallas(
     atol: float = 1e-5,
     rtol: float = 1e-5,
     interpret: bool | None = None,
+    dtype=jnp.float32,
 ) -> BandedPallasResult:
     """Batched SSSP by Pallas banded GS rounds.
 
@@ -368,33 +536,24 @@ def batched_field_banded_pallas(
     lateral edges, cross planes the inter-row edges, the residual the rest).
     atol=rtol=0 gives the exact Dijkstra fixed point; the small defaults cut
     the fp32 jitter tail (improvements can't amplify through a relaxation, so
-    sub-tolerance residual error stays at noise scale, ~1e-4 observed)."""
+    sub-tolerance residual error stays at noise scale, ~1e-4 observed).
+
+    dtype=jnp.bfloat16 runs the whole relaxation in bf16 (half the HBM/VMEM
+    traffic) at ~0.4% mean label error — opt-in approximate mode, same
+    contract as the structured solver's bf16 path; predecessors are still
+    recovered in f32 against the bf16 labels."""
     V = plan.num_vertices
     B = seeds.shape[0]
     R, C, Cp = plan.n_rows, plan.n_cols, plan.n_cols_pad
     if interpret is None:
         interpret = not pallas_available()
+    if dtype == jnp.bfloat16:
+        atol = max(atol, 1e-3)
+        rtol = max(rtol, 4e-3)
 
-    rb, bb = _pick_blocks(Cp)
-    Rp = _round_up(R, rb)
-    Bp = _round_up(B, bb)
-
-    def pad_rows(p):  # [R, .., Cp] -> [Rp, .., Cp] inf rows
-        padw = [(0, Rp - R)] + [(0, 0)] * (p.ndim - 1)
-        return jnp.pad(p, padw, constant_values=INF)
-
-    down = pad_rows(plan.down)
-    up = pad_rows(plan.up)
-    a_fwd = pad_rows(plan.a_fwd)
-    a_bwd = pad_rows(plan.a_bwd)
-
-    # seed the padded [Rp, Cp, Bp] field (padding lanes stay all-inf)
-    rows = seeds // C
-    cols = seeds % C
-    flat_pad = rows * Cp + cols
-    d0 = jnp.full((Rp * Cp, Bp), INF, jnp.float32)
-    d0 = d0.at[flat_pad, jnp.arange(B)].set(0.0)
-    d0 = d0.reshape(Rp, Cp, Bp)
+    prob = prepare_padded(plan, seeds, dtype=dtype)
+    d0, down, up, a_fwd, a_bwd, rb, bb = prob
+    Rp, _, Bp = d0.shape
 
     has_residual = bool(plan.res_dst.shape[0])
 
@@ -410,7 +569,7 @@ def batched_field_banded_pallas(
         changed = chg_dn | chg_up
         if has_residual:
             flat = d.reshape(Rp * Cp, Bp)
-            cand = flat[plan.res_src] + plan.res_w[:, None]
+            cand = flat[plan.res_src] + plan.res_w[:, None].astype(dtype)
             new = flat.at[plan.res_dst].min(cand)
             changed |= jnp.any(new * (1.0 + rtol) + atol < flat)
             d = new.reshape(Rp, Cp, Bp)
@@ -430,9 +589,10 @@ def batched_field_banded_pallas(
     )
 
     # unpad: [Rp, Cp, Bp] -> [V, B]
-    dist = d[:R, :C, :B].reshape(R * C, B)[:V]
+    dist = d[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32)
 
-    pred = predecessors_banded(plan, dist, tol=max(atol, 1e-6))
+    pred_tol = 1e-2 if dtype == jnp.bfloat16 else max(atol, 1e-6)
+    pred = predecessors_banded(plan, dist, tol=pred_tol)
     return BandedPallasResult(
         dist=dist.T, pred=pred.T, rounds=rounds, converged=~changed
     )

@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh.arrays import MeshArrays, host_array
 from mesh_navigation_tpu.mesh import geometry
 
 INF = jnp.inf
@@ -82,10 +82,10 @@ def build_face_grid(mesh: MeshArrays, cell_size: float | None = None) -> FaceGri
     """Host-side: bin each face into every xy cell its AABB overlaps."""
     import numpy as np
 
-    tris = np.asarray(mesh.vertices)[np.asarray(mesh.faces)]   # [F, 3, 3]
+    tris = host_array(mesh, "vertices")[host_array(mesh, "faces")]   # [F, 3, 3]
     F = len(tris)
     if cell_size is None:
-        ed = np.asarray(mesh.edge_dist)
+        ed = host_array(mesh, "edge_dist")
         cell_size = 2.0 * float(ed.mean()) if len(ed) else 1.0
     lo = tris[..., :2].min(axis=(0, 1)) - 1e-4
     hi = tris[..., :2].max(axis=(0, 1)) + 1e-4

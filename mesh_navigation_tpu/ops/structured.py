@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh.arrays import MeshArrays, host_array
 
 INF = jnp.inf
 
@@ -61,7 +61,7 @@ def build_offset_plan(
     max_offsets: int = 12,
 ) -> OffsetPlan:
     """Host-side offset classification of the slot-weight table."""
-    adj = np.asarray(mesh.adj_vertex)
+    adj = host_array(mesh, "adj_vertex")
     W = np.asarray(weights_vd)
     V, D = adj.shape
     delta = adj - np.arange(V)[:, None]

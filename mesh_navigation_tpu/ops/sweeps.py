@@ -68,6 +68,38 @@ def slot_weights(
     return jnp.where(usable, w, INF)
 
 
+def slot_weights_np(
+    mesh: MeshArrays,
+    vertex_costs: "np.ndarray",
+    cost_limit: float = 1.0,
+    edge_cost_factor: float = 0.0,
+) -> "np.ndarray":
+    """Numpy mirror of compute_edge_weights + slot_weights for host-side plan
+    construction (offset/banded classification) — avoids the device->host
+    pull of the [V, D] weight table, which is prohibitive over a tunneled
+    backend (mesh/arrays.py host_array rationale)."""
+    import numpy as np
+
+    from mesh_navigation_tpu.mesh.arrays import host_array
+
+    costs = np.asarray(vertex_costs, np.float32)
+    edges = host_array(mesh, "edges")
+    dist = host_array(mesh, "edge_dist")
+    c1 = costs[edges[:, 0]]
+    c2 = costs[edges[:, 1]]
+    ew = dist + edge_cost_factor * dist * (c1 + c2) * 0.5
+    ew = np.where(np.isinf(c1) | np.isinf(c2), np.inf, ew).astype(np.float32)
+
+    adj_v = host_array(mesh, "adj_vertex")
+    adj_e = host_array(mesh, "adj_edge")
+    adj_m = host_array(mesh, "adj_mask")
+    invalid = host_array(mesh, "invalid")
+    w = ew[adj_e]
+    blocked_src = (costs[adj_v] > cost_limit) | invalid[adj_v]
+    usable = adj_m & ~blocked_src & ~invalid[:, None]
+    return np.where(usable, w, np.inf).astype(np.float32)
+
+
 class FieldResult(NamedTuple):
     """Potential field + predecessor map from a seeded sweep solve."""
     dist: jax.Array        # [V] f32 geodesic potential (inf = unreached)
@@ -140,6 +172,21 @@ def vector_map_from_predecessors(mesh: MeshArrays, pred: jax.Array) -> jax.Array
     vidx = jnp.arange(mesh.num_vertices, dtype=jnp.int32)
     d = mesh.vertices[pred] - mesh.vertices
     has_pred = pred != vidx
+    n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    unit = d / jnp.maximum(n, 1e-12)
+    return jnp.where(has_pred[:, None], unit, 0.0)
+
+
+def vector_rows_from_predecessors(
+    mesh: MeshArrays, pred: jax.Array, vids: jax.Array
+) -> jax.Array:
+    """`vector_map_from_predecessors` evaluated only at `vids` ([K] i32) —
+    the controller samples the field at the 3 vertices of the tracked face,
+    so at large V the full [V, 3] (or [B, V, 3] batched) field never needs to
+    materialize. Returns [K, 3]."""
+    p = pred[vids]
+    d = mesh.vertices[p] - mesh.vertices[vids]
+    has_pred = p != vids
     n = jnp.linalg.norm(d, axis=-1, keepdims=True)
     unit = d / jnp.maximum(n, 1e-12)
     return jnp.where(has_pred[:, None], unit, 0.0)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from mesh_navigation_tpu.mesh.arrays import MeshArrays
+from mesh_navigation_tpu.mesh.arrays import MeshArrays, host_array
 
 INF = jnp.inf
 
@@ -54,8 +54,8 @@ def build_partition(
     n_shards: int,
 ) -> MeshPartition:
     """Host-side: sort by x (ties y), block-cut, build halo tables."""
-    pos = np.asarray(mesh.vertices)
-    adj = np.asarray(mesh.adj_vertex)
+    pos = host_array(mesh, "vertices")
+    adj = host_array(mesh, "adj_vertex")
     W = np.asarray(weights_vd)
     V, D = adj.shape
 

@@ -167,17 +167,25 @@ class DijkstraPlanner:
             return None
         return plan if plan.coverage >= min_coverage else None
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, static_argnames=("light", "dtype"))
     def plan_batch_banded(
         self,
         weights_vd: jax.Array,
         kernel_plan,
         starts: jax.Array,
         goals: jax.Array,
+        *,
+        light: bool = False,
+        dtype=jnp.float32,
     ) -> PlanResult:
         """Batch planning via banded GS fast sweeping (ops/pallas_banded.py)
         — the fastest path on band-structured meshes: O(path winding) rounds
-        instead of O(diameter) sweeps."""
+        instead of O(diameter) sweeps.
+
+        light=True skips the [B, V, 3] per-scenario vector fields (3 GB at
+        1M x 256 — returns vector_map=None); the controller samples
+        directions straight from `pred` via compute_velocity_pred.
+        dtype=jnp.bfloat16 opts into the approximate half-bandwidth solve."""
         from mesh_navigation_tpu.ops import pallas_banded as _pb
 
         mesh = self.mesh
@@ -186,8 +194,31 @@ class DijkstraPlanner:
         field = _pb.batched_field_banded_pallas(
             mesh, weights_vd, kernel_plan, goal_v,
             max_rounds=max(self.config.max_sweeps // 2, 64),
+            dtype=dtype,
         )
-        return jax.vmap(self._finish_batch)(field.dist, field.pred, start_v, goal_v)
+        finish = self._finish_batch_light if light else self._finish_batch
+        return jax.vmap(finish)(field.dist, field.pred, start_v, goal_v)
+
+    def _finish_batch_light(self, dist, pred, sv, gv) -> PlanResult:
+        """Path + poses + outcome only — no dense [V, 3] vector field."""
+        mesh = self.mesh
+        path, valid = sweeps.extract_path(pred, sv, gv, self.max_path_len)
+        positions = mesh.vertices[path]
+        quats, cost = pose_chain(positions, valid, mesh.vertex_normals[path])
+        reached = jnp.isfinite(dist[sv])
+        outcome = jnp.where(
+            reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND
+        ).astype(jnp.int32)
+        return PlanResult(
+            outcome=outcome,
+            path_positions=positions,
+            path_quats=quats,
+            path_valid=valid & reached,
+            cost=jnp.where(reached, cost, jnp.inf),
+            potential=dist,
+            vector_map=None,
+            pred=pred,
+        )
 
     def prepare_offset_plan(self, weights_vd: jax.Array):
         """Host-side offset classification for the structured (gather-free)

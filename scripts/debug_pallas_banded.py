@@ -4,6 +4,7 @@ round counts, and single-pass timing, at increasing mesh sizes.
 Usage: python scripts/debug_pallas_banded.py [mesh_n] [batch] [max_rounds]
 Every device call is individually timed and printed so a hang is localized.
 """
+import os
 import sys
 import time
 
@@ -11,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mesh_navigation_tpu.mesh import build_mesh, synthetic
 from mesh_navigation_tpu.ops import pallas_banded as pb
@@ -50,20 +51,11 @@ print(
     flush=True,
 )
 
-rb, bb = pb._pick_blocks(plan.n_cols_pad)
-print(f"blocks rb={rb} bb={bb}", flush=True)
-
-R, C, Cp = plan.n_rows, plan.n_cols, plan.n_cols_pad
-Rp = pb._round_up(R, rb)
-Bp = pb._round_up(B, bb)
 rng = np.random.default_rng(0)
 seeds = jnp.asarray(rng.integers(0, mesh.num_vertices, size=B), jnp.int32)
-rows, cols = seeds // C, seeds % C
-d0 = jnp.full((Rp * Cp, Bp), jnp.inf, jnp.float32)
-d0 = d0.at[rows * Cp + cols, jnp.arange(B)].set(0.0).reshape(Rp, Cp, Bp)
-
-pad = lambda p: jnp.pad(p, [(0, Rp - R)] + [(0, 0)] * (p.ndim - 1), constant_values=jnp.inf)
-down, up, a_f, a_b = pad(plan.down), pad(plan.up), pad(plan.a_fwd), pad(plan.a_bwd)
+d0, down, up, a_f, a_b, rb, bb = pb.prepare_padded(plan, seeds)
+print(f"blocks rb={rb} bb={bb}", flush=True)
+interpret = not pb.pallas_available()
 
 # single pass, timed (includes compile on first call)
 print("compiling down pass...", flush=True)
@@ -72,7 +64,7 @@ d1, chg = t(
     pb._directional_pass_pallas,
     d0, down, a_f, a_b,
     reverse=False, rb=rb, bb=bb, n_scan=plan.n_scan, atol=1e-5, rtol=1e-5,
-    interpret=False,
+    interpret=interpret,
 )
 print(f"  changed={bool(chg)}", flush=True)
 d2, chg = t(
@@ -80,14 +72,14 @@ d2, chg = t(
     pb._directional_pass_pallas,
     d1, down, a_f, a_b,
     reverse=False, rb=rb, bb=bb, n_scan=plan.n_scan, atol=1e-5, rtol=1e-5,
-    interpret=False,
+    interpret=interpret,
 )
 d3, chg = t(
     "up pass (compile+run)",
     pb._directional_pass_pallas,
     d2, up, a_f, a_b,
     reverse=True, rb=rb, bb=bb, n_scan=plan.n_scan, atol=1e-5, rtol=1e-5,
-    interpret=False,
+    interpret=interpret,
 )
 
 res = t(

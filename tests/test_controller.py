@@ -142,3 +142,31 @@ def test_rotate_recovery(grid_mesh_small):
     # final heading ~ rotated by pi around z
     final_dir = np.asarray(geometry.direction_from_pose(quats[-1]))
     np.testing.assert_allclose(final_dir[:2], [-1.0, 0.0], atol=0.1)
+
+
+def test_compute_velocity_pred_matches_vector_map(grid_mesh_small):
+    """The pred-sampling control path (large-mesh mode) must produce the same
+    command as the dense vector-map path, since the Dijkstra vector map IS
+    normalize(pos[pred] - pos) (dijkstra_mesh_planner.cpp:189-209)."""
+    from mesh_navigation_tpu.ops import sweeps
+
+    mesh = grid_mesh_small
+    costs = jnp.zeros(mesh.num_vertices, jnp.float32)
+    planner = DijkstraPlanner(mesh, PlannerConfig())
+    W = planner.prepare_weights(costs)
+    goal = jnp.asarray([3.2, 3.2, 0.0])
+    start = jnp.asarray([0.6, 0.9, 0.0])
+    res = planner.plan_one(W, start, goal)
+
+    ctrl = MeshController(mesh, ControllerConfig())
+    q = _quat_yaw(0.3)
+    st = initial_state(goal, jnp.asarray([1.0, 0.0, 0.0]))
+    cmd_vm, _ = ctrl.compute_velocity(res.vector_map, costs, start, q, st)
+    cmd_pred, _ = ctrl.compute_velocity_pred(res.pred, costs, start, q, st)
+    np.testing.assert_allclose(
+        float(cmd_vm.linear), float(cmd_pred.linear), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(cmd_vm.angular), float(cmd_pred.angular), rtol=1e-5, atol=1e-6
+    )
+    assert int(cmd_pred.outcome) == int(cmd_vm.outcome) == Outcome.SUCCESS

@@ -126,3 +126,52 @@ def test_truncated_scan_same_fixed_point():
     for b, s in enumerate([17, 200]):
         od = _oracle(m, ew, costs, s)
         np.testing.assert_allclose(np.asarray(res.dist[b]), od, rtol=1e-3, atol=1e-4)
+
+
+def test_refresh_planes_matches_host_rebuild():
+    """refresh_banded_planes (device, jittable) must reproduce exactly what a
+    host rebuild with the new weights produces — the live-replan contract."""
+    import jax
+
+    m = _terrain16()
+    rng = np.random.default_rng(7)
+    costs1 = rng.uniform(0.0, 0.5, m.num_vertices).astype(np.float32)
+    costs2 = rng.uniform(0.0, 0.9, m.num_vertices).astype(np.float32)
+    costs2[40:60] = np.inf  # lethal patch: planes must carry inf through
+    _, W1 = _weights(m, costs1)
+    _, W2 = _weights(m, costs2)
+    plan1 = pallas_banded.build_banded_kernel_plan(m, W1)
+    plan2 = pallas_banded.build_banded_kernel_plan(m, W2)
+    refreshed = jax.jit(pallas_banded.refresh_banded_planes)(plan1, jnp.asarray(W2))
+    for name in ("down", "up", "a_fwd", "a_bwd", "res_w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(refreshed, name)),
+            np.asarray(getattr(plan2, name)),
+            rtol=1e-6, atol=0.0,
+            err_msg=name,
+        )
+
+
+def test_plan_batch_banded_light_matches_full():
+    """light=True must agree on path/cost/outcome and skip the vector field."""
+    from mesh_navigation_tpu.config import PlannerConfig
+    from mesh_navigation_tpu.planners import DijkstraPlanner
+
+    m = _terrain16()
+    costs = np.zeros(m.num_vertices, np.float32)
+    _, W = _weights(m, costs)
+    planner = DijkstraPlanner(
+        m, PlannerConfig(method="batched", ordered_rounds=0), max_path_len=128
+    )
+    kplan = planner.prepare_banded_plan(np.asarray(W))
+    assert kplan is not None
+    starts = jnp.asarray([[1.0, 1.0, 0.0], [5.0, 2.0, 0.0]], jnp.float32)
+    goals = jnp.asarray([[6.0, 6.0, 0.0], [1.5, 6.5, 0.0]], jnp.float32)
+    full = planner.plan_batch_banded(W, kplan, starts, goals)
+    light = planner.plan_batch_banded(W, kplan, starts, goals, light=True)
+    assert light.vector_map is None and full.vector_map is not None
+    np.testing.assert_array_equal(np.asarray(full.outcome), np.asarray(light.outcome))
+    np.testing.assert_allclose(np.asarray(full.cost), np.asarray(light.cost), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(full.path_valid), np.asarray(light.path_valid)
+    )
