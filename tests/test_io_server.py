@@ -175,3 +175,72 @@ def test_navigate_move_base(grid_mesh_small):
     final = np.asarray(res["final_position"])
     assert np.linalg.norm(final - np.asarray(goal)) < 0.6
     assert res["cycles"] > 10
+
+
+def test_stl_binary_and_ascii(tmp_path):
+    """STL triangle soup must weld into shared topology (io.load_stl)."""
+    import struct
+
+    tris = np.asarray(
+        [
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+            [[1, 0, 0], [1, 1, 0], [0, 1, 0]],
+        ],
+        np.float32,
+    )
+    p = tmp_path / "m.stl"
+    with open(p, "wb") as fh:
+        fh.write(b"\0" * 80)
+        fh.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            fh.write(struct.pack("<3f", 0, 0, 1))
+            for v in t:
+                fh.write(struct.pack("<3f", *v))
+            fh.write(struct.pack("<H", 0))
+    v, f = io.load_stl(str(p))
+    assert len(v) == 4 and len(f) == 2          # welded shared edge
+
+    pa = tmp_path / "m_ascii.stl"
+    lines = ["solid x"]
+    for t in tris:
+        lines += ["facet normal 0 0 1", "outer loop"]
+        lines += [f"vertex {a} {b} {c}" for a, b, c in t]
+        lines += ["endloop", "endfacet"]
+    lines.append("endsolid x")
+    pa.write_text("\n".join(lines))
+    v2, f2 = io.load_stl(str(pa))
+    assert len(v2) == 4 and len(f2) == 2
+    m = build_mesh(v, f)
+    assert m.num_edges == 5
+
+
+def test_dae_transform_bake(tmp_path):
+    """COLLADA import: polylist triangulation + node transform baking +
+    Y_UP conversion (the assimp surface, util.cpp:98-219)."""
+    dae = """<?xml version="1.0"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+ <asset><up_axis>Z_UP</up_axis></asset>
+ <library_geometries>
+  <geometry id="quad"><mesh>
+   <source id="pos"><float_array id="arr" count="12">0 0 0 1 0 0 1 1 0 0 1 0</float_array>
+    <technique_common><accessor source="#arr" count="4" stride="3">
+     <param name="X" type="float"/><param name="Y" type="float"/><param name="Z" type="float"/>
+    </accessor></technique_common></source>
+   <vertices id="vv"><input semantic="POSITION" source="#pos"/></vertices>
+   <polylist count="1"><input semantic="VERTEX" source="#vv" offset="0"/>
+    <vcount>4</vcount><p>0 1 2 3</p></polylist>
+  </mesh></geometry>
+ </library_geometries>
+ <library_visual_scenes><visual_scene id="s">
+  <node id="n"><translate>10 0 0</translate>
+   <instance_geometry url="#quad"/></node>
+ </visual_scene></library_visual_scenes>
+ <scene><instance_visual_scene url="#s"/></scene>
+</COLLADA>"""
+    p = tmp_path / "m.dae"
+    p.write_text(dae)
+    v, f = io.load_dae(str(p))
+    assert len(v) == 4 and len(f) == 2          # quad fan-triangulated
+    np.testing.assert_allclose(v[:, 0].min(), 10.0)  # translate baked
+    m = build_mesh(v, f)
+    assert m.num_faces == 2
