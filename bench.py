@@ -28,6 +28,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the 1M-vertex pipeline costs ~10 min of
+# (remote) XLA/Mosaic compile on first run; reruns should pay ~0
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def main():
     mesh_n = int(os.environ.get("BENCH_MESH_N", "1024"))    # mesh = n*n vertices
@@ -83,14 +88,13 @@ def main():
             res = planner.plan_batch_banded(
                 W, kplan, starts, goals, light=True, dtype=dtype
             )
-
-            def velocity(pred, s, g, q):
-                st = initial_state(g, jnp.asarray([1.0, 0.0, 0.0]))
-                cmd, _ = ctrl.compute_velocity_pred(pred, costs, s, q, st)
-                return cmd.linear, cmd.angular
-
-            lin, ang = jax.vmap(velocity)(res.pred, starts, goals, quats)
-            return res.cost, lin, ang, res.outcome
+            st = jax.vmap(
+                lambda g: initial_state(g, jnp.asarray([1.0, 0.0, 0.0]))
+            )(goals)
+            cmds, _ = ctrl.compute_velocity_banded(
+                kplan, res.potential, costs, starts, quats, st
+            )
+            return res.cost, cmds.linear, cmds.angular, res.outcome
     else:
         from mesh_navigation_tpu.ops import structured
 

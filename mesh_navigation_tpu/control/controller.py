@@ -135,6 +135,46 @@ class MeshController:
         raw_dir = geometry.bary_interpolate(rows, fix.bary)
         return self._finish_velocity(fix, raw_dir, vertex_costs, orientation, state)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def compute_velocity_banded(
+        self,
+        kernel_plan,              # ops.pallas_banded.BandedKernelPlan
+        dist_bv: jax.Array,       # [B, V] converged labels (potential)
+        vertex_costs: jax.Array,  # [V]
+        positions: jax.Array,     # [B, 3]
+        orientations: jax.Array,  # [B, 4]
+        states: ControllerState,  # batched ([B] leaves)
+    ) -> tuple[VelocityCommand, ControllerState]:
+        """Batched control cycle on the banded solver's label field: the
+        direction rows are recovered on the fly (pred_at_vertices) at just
+        the tracked face's 3 vertices per lane — no [B, V] pred map and no
+        [B, V, 3] vector field ever materialize (the 1M x 256 light path).
+        Same control law as compute_velocity_pred, batched over lanes."""
+        from mesh_navigation_tpu.ops import pallas_banded as _pb
+
+        mesh = self.mesh
+
+        def _locate(p, f):
+            return tracking.locate(
+                mesh, self.grid, p, f,
+                max_dist=self.config.max_search_distance,
+            )
+
+        fix = jax.vmap(_locate)(positions, states.current_face)
+        vids = mesh.faces[jnp.maximum(fix.face, 0)]            # [B, 3]
+        preds = _pb.pred_at_vertices(kernel_plan, dist_bv, vids)  # [B, 3]
+        d = mesh.vertices[preds] - mesh.vertices[vids]
+        unit = d / jnp.maximum(
+            jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12
+        )
+        rows = jnp.where((preds != vids)[..., None], unit, 0.0)  # [B, 3, 3]
+        raw_dir = jax.vmap(geometry.bary_interpolate)(rows, fix.bary)
+        return jax.vmap(
+            lambda f, rd, o, s: self._finish_velocity(
+                f, rd, vertex_costs, o, s
+            )
+        )(fix, raw_dir, orientations, states)
+
     def _finish_velocity(
         self, fix, raw_dir, vertex_costs, orientation, state
     ) -> tuple[VelocityCommand, ControllerState]:

@@ -58,7 +58,10 @@ def _round_up(x: int, m: int) -> int:
         "down", "up", "a_fwd", "a_bwd", "res_dst", "res_src", "res_w",
         "slot_map", "res_slot",
     ),
-    meta_fields=("n_rows", "n_cols", "n_cols_pad", "n_scan", "coverage", "num_vertices"),
+    meta_fields=(
+        "n_rows", "n_cols", "n_cols_pad", "n_scan", "coverage", "num_vertices",
+        "n_residual",
+    ),
 )
 @dataclasses.dataclass(frozen=True)
 class BandedKernelPlan:
@@ -79,6 +82,7 @@ class BandedKernelPlan:
     n_scan: int          # scan steps S (spans 1, 2, ..., 2^(S-1))
     coverage: float
     num_vertices: int
+    n_residual: int      # REAL residual edge count (res_* are padded to >= 8)
     # row-major leading dim: Mosaic constrains only the LAST TWO block dims,
     # so [R, 3|S, Cp] blocks stay legal for any row-block size rb
     down: jax.Array      # [R, 3, Cp] w((r-1, c+s) -> (r, c)), s = -1, 0, +1
@@ -196,6 +200,7 @@ def build_banded_kernel_plan(
         n_scan=n_scan,
         coverage=float(coverage),
         num_vertices=V,
+        n_residual=int(len(rows)),
         down=jnp.asarray(down, jnp.float32),
         up=jnp.asarray(up, jnp.float32),
         a_fwd=jnp.asarray(a_fwd, jnp.float32),
@@ -260,6 +265,7 @@ def _shift_up(x: jax.Array, k: int) -> jax.Array:
 
 def _pass_kernel(
     rb: int, n_scan: int, reverse: bool, atol: float, rtol: float,
+    skip: bool, force: bool,
     dist_ref, cross_ref, af_ref, ab_ref,
     out_ref, chg_ref, prev_ref,
 ):
@@ -288,28 +294,60 @@ def _pass_kernel(
             ),
             _shift_up(prev, 1) + cross[2][:, None],
         )
-        row = jnp.minimum(cur, cand)
-        # lateral min-plus scans (precomputed chain weights)
-        for s in range(n_scan):
-            k = 1 << s
-            row = jnp.minimum(row, _shift_down(row, k) + af_ref[r, s, :][:, None])
-        for s in range(n_scan):
-            k = 1 << s
-            row = jnp.minimum(row, _shift_up(row, k) + ab_ref[r, s, :][:, None])
+        row0 = jnp.minimum(cur, cand)
         # tolerance applies to the FLAG only (writes stay unconditional and
         # monotone): fp32 summation-order jitter otherwise drags the loop
         # through many ~1e-5 "improvement" rounds after the true wavefront
         # has converged (measured: 14 vs 2 real rounds on a 16k terrain)
-        changed |= jnp.any(row * (1.0 + rtol) + atol < cur)
-        out_ref[r] = row
-        prev = row
+        imp = jnp.any(cand * (1.0 + rtol) + atol < cur)
+
+        def scan_row(row):
+            # lateral min-plus scans (precomputed chain weights); full depth
+            # = the exact 1D lateral fixed point (fwd covers all left
+            # sources, bwd all right sources over the updated labels)
+            for s in range(n_scan):
+                row = jnp.minimum(
+                    row, _shift_down(row, 1 << s) + af_ref[r, s, :][:, None]
+                )
+            for s in range(n_scan):
+                row = jnp.minimum(
+                    row, _shift_up(row, 1 << s) + ab_ref[r, s, :][:, None]
+                )
+            return row
+
+        if skip:
+            # A row needs re-scanning only when the carried row actually
+            # improved it (it is otherwise still at the lateral fixed point
+            # from the pass that last scanned it). `force` (first pass of
+            # the solve) additionally scans any row holding finite labels —
+            # freshly-injected seeds have no cross improvement to flag them.
+            # Requires full scan depth + no residual edges (callers gate).
+            need = imp
+            if force:
+                need |= jnp.any(jnp.isfinite(row0))
+            out_ref[r] = row0
+
+            @pl.when(need)
+            def _():
+                out_ref[r] = scan_row(row0)
+
+            changed |= imp
+            prev = out_ref[r]
+        else:
+            row = scan_row(row0)
+            changed |= jnp.any(row * (1.0 + rtol) + atol < cur)
+            out_ref[r] = row
+            prev = row
     prev_ref[:] = prev
     chg_ref[0, 0] |= changed.astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("reverse", "rb", "bb", "n_scan", "atol", "rtol", "interpret"),
+    static_argnames=(
+        "reverse", "rb", "bb", "n_scan", "atol", "rtol", "interpret",
+        "skip", "force",
+    ),
 )
 def _directional_pass_pallas(
     d: jax.Array,        # [Rp, Cp, Bp] f32
@@ -324,6 +362,8 @@ def _directional_pass_pallas(
     atol: float = 0.0,
     rtol: float = 0.0,
     interpret: bool = False,
+    skip: bool = False,
+    force: bool = False,
 ):
     Rp, Cp, Bp = d.shape
     S = a_fwd.shape[1]
@@ -342,7 +382,9 @@ def _directional_pass_pallas(
             return (i, 0, 0)
 
     out, chg = pl.pallas_call(
-        functools.partial(_pass_kernel, rb, n_scan, reverse, atol, rtol),
+        functools.partial(
+            _pass_kernel, rb, n_scan, reverse, atol, rtol, skip, force
+        ),
         grid=(n_j, n_i),
         in_specs=[
             pl.BlockSpec((rb, Cp, bb), dmap, memory_space=pltpu.VMEM),
@@ -516,6 +558,355 @@ class BandedPallasResult(NamedTuple):
     converged: jax.Array
 
 
+class BandedPaddedResult(NamedTuple):
+    """Converged field still on the padded [Rp, Cp, Bp] grid — the zero-copy
+    contract for the light planning path (descend_paths / pred_at_vertices
+    consume padded flat ids directly; no [V, B] unpad, no [B, V] pred)."""
+    d_pad: jax.Array      # [Rp, Cp, Bp]
+    rounds: jax.Array
+    converged: jax.Array
+
+
+def banded_solve_padded(
+    plan: BandedKernelPlan,
+    seeds: jax.Array,          # [B] i32
+    *,
+    max_rounds: int = 256,
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
+    interpret: bool | None = None,
+    dtype=jnp.float32,
+    skip_rows: bool | None = None,
+) -> BandedPaddedResult:
+    """Run banded GS rounds to convergence, returning the padded field.
+
+    Shared core of batched_field_banded_pallas; the residual scatter-min only
+    runs when the plan has REAL residual edges (the res_* buffers are padded
+    to >= 8 entries, so their shape alone can't gate it — on clean terrain
+    grids there are zero residuals and the [Rp*Cp, Bp] scatter round-trip is
+    pure waste)."""
+    B = seeds.shape[0]
+    C, Cp = plan.n_cols, plan.n_cols_pad
+    if interpret is None:
+        interpret = not pallas_available()
+    if dtype == jnp.bfloat16:
+        atol = max(atol, 1e-3)
+        rtol = max(rtol, 4e-3)
+
+    prob = prepare_padded(plan, seeds, dtype=dtype)
+    d0, down, up, a_fwd, a_bwd, rb, bb = prob
+    Rp, _, Bp = d0.shape
+
+    has_residual = plan.n_residual > 0
+    # Row-skip needs (a) no residual edges (a residual scatter-min can dirty
+    # a row without any in-kernel cross improvement) and (b) full scan depth
+    # (the skip invariant is "scanned rows sit at their exact lateral fixed
+    # point", which only full-depth fwd+bwd scans guarantee).
+    full_depth = plan.n_scan >= max(1, int(np.ceil(np.log2(max(C, 2)))))
+    skip = (not has_residual) and full_depth
+    if skip_rows is not None:
+        skip = skip_rows and skip
+
+    def one_round(d, force=False):
+        d, chg_dn = _directional_pass_pallas(
+            d, down, a_fwd, a_bwd, reverse=False, rb=rb, bb=bb,
+            n_scan=plan.n_scan, atol=atol, rtol=rtol, interpret=interpret,
+            skip=skip, force=force,
+        )
+        d, chg_up = _directional_pass_pallas(
+            d, up, a_fwd, a_bwd, reverse=True, rb=rb, bb=bb,
+            n_scan=plan.n_scan, atol=atol, rtol=rtol, interpret=interpret,
+            skip=skip,
+        )
+        changed = chg_dn | chg_up
+        if has_residual:
+            flat = d.reshape(Rp * Cp, Bp)
+            cand = flat[plan.res_src] + plan.res_w[:, None].astype(dtype)
+            new = flat.at[plan.res_dst].min(cand)
+            changed |= jnp.any(new * (1.0 + rtol) + atol < flat)
+            d = new.reshape(Rp, Cp, Bp)
+        return d, changed
+
+    def cond(carry):
+        return carry[2] & (carry[1] < max_rounds)
+
+    def body(carry):
+        d, it, _ = carry
+        new, changed = one_round(d)
+        return new, it + 1, changed
+
+    d1, chg0 = one_round(d0, force=True)
+    d, rounds, changed = jax.lax.while_loop(
+        cond, body, (d1, jnp.int32(1), chg0)
+    )
+    return BandedPaddedResult(d_pad=d, rounds=rounds, converged=~changed)
+
+
+def _inbound_tables(plan: BandedKernelPlan):
+    """In-edge weight lookup for the eight banded classes.
+
+    Returns (W8 [8, R*Cp] f32 padded-flat weight table, offs [8] i32 REAL
+    flat-id offsets). For destination REAL id v the candidate predecessors
+    are v + offs[k] (on the [R, C] grid) with weight W8[k, padded(v)];
+    structurally-absent edges are +inf (exactly the plane construction), so
+    row-wrapped / out-of-grid candidates never win."""
+    C = plan.n_cols
+    offs = jnp.asarray(
+        [-1, 1, -C - 1, -C, -C + 1, C - 1, C, C + 1], jnp.int32
+    )
+    W8 = jnp.stack(
+        [
+            plan.a_fwd[:, 0, :].reshape(-1),
+            plan.a_bwd[:, 0, :].reshape(-1),
+            plan.down[:, 0, :].reshape(-1),
+            plan.down[:, 1, :].reshape(-1),
+            plan.down[:, 2, :].reshape(-1),
+            plan.up[:, 0, :].reshape(-1),
+            plan.up[:, 1, :].reshape(-1),
+            plan.up[:, 2, :].reshape(-1),
+        ]
+    ).astype(jnp.float32)
+    return W8, offs
+
+
+def _to_padded_flat(plan: BandedKernelPlan, v: jax.Array) -> jax.Array:
+    return (v // plan.n_cols) * plan.n_cols_pad + v % plan.n_cols
+
+
+def _pred_kernel(
+    rb: int, C: int, tol: float,
+    dist_ref,    # [rb, Cp, bb] center rows
+    up_ref,      # [1, Cp, bb] row above the block (clamped at the top)
+    dn_ref,      # [1, Cp, bb] row below the block (clamped at the bottom)
+    w8_ref,      # [8, rb, Cp] in-edge weight planes (class-major)
+    pred_ref,    # [rb, Cp, bb] i32 out: REAL-id predecessor
+):
+    i = pl.program_id(1)
+    Cp, bb = dist_ref.shape[1], dist_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Cp, bb), 0)
+    # real flat id of each destination element (pad columns c >= C emit
+    # garbage ids but their weights are all inf -> pred = self, trimmed
+    # by the [:R, :C] slice outside)
+    off_real = (-1, 1, -C - 1, -C, -C + 1, C - 1, C, C + 1)
+
+    for r in range(rb):
+        cur = dist_ref[r].astype(jnp.float32)              # [Cp, bb]
+        up_row = (dist_ref[r - 1] if r > 0 else up_ref[0]).astype(jnp.float32)
+        dn_row = (dist_ref[r + 1] if r + 1 < rb else dn_ref[0]).astype(
+            jnp.float32
+        )
+        # candidate source values per class (shift = source column offset)
+        srcs = (
+            _shift_down(cur, 1),               # (r, c-1)
+            _shift_up(cur, 1),                 # (r, c+1)
+            _shift_down(up_row, 1),            # (r-1, c-1)
+            up_row,                            # (r-1, c)
+            _shift_up(up_row, 1),              # (r-1, c+1)
+            _shift_down(dn_row, 1),            # (r+1, c-1)
+            dn_row,                            # (r+1, c)
+            _shift_up(dn_row, 1),              # (r+1, c+1)
+        )
+        best = jnp.full((Cp, bb), INF, jnp.float32)
+        rel = jnp.zeros((Cp, bb), jnp.int32)
+        for k in range(8):
+            cand = srcs[k] + w8_ref[k, r, :][:, None]
+            take = cand < best
+            best = jnp.where(take, cand, best)
+            rel = jnp.where(take, jnp.int32(off_real[k]), rel)
+        has = (best <= cur * (1.0 + tol) + tol) & (cur > 0) & jnp.isfinite(cur)
+        self_real = ((i * rb + r) * C + col).astype(jnp.int32)
+        pred_ref[r] = self_real + jnp.where(has, rel, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("C", "rb", "bb", "tol", "interpret")
+)
+def _predecessors_pallas_padded(
+    d: jax.Array,        # [Rp, Cp, Bp] converged field
+    w8: jax.Array,       # [8, Rp, Cp] in-edge weight planes
+    *,
+    C: int,
+    rb: int,
+    bb: int,
+    tol: float,
+    interpret: bool = False,
+):
+    Rp, Cp, Bp = d.shape
+    n_i = Rp // rb
+    n_j = Bp // bb
+
+    pred = pl.pallas_call(
+        functools.partial(_pred_kernel, rb, C, tol),
+        grid=(n_j, n_i),
+        in_specs=[
+            pl.BlockSpec((rb, Cp, bb), lambda j, i: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp, bb),
+                         lambda j, i, rb=rb: (jnp.maximum(i * rb - 1, 0), 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp, bb),
+                         lambda j, i, rb=rb, last=Rp - 1: (
+                             jnp.minimum((i + 1) * rb, last), 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rb, Cp), lambda j, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, Cp, bb), lambda j, i: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, Cp, Bp), jnp.int32),
+        interpret=interpret,
+    )(d, d, d, w8)
+    return pred
+
+
+def predecessors_banded_pallas(
+    plan: BandedKernelPlan,
+    d_pad: jax.Array,        # [Rp, Cp, Bp] converged padded field
+    *,
+    tol: float = 1e-5,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Full [V, B] predecessor recovery as a single Pallas pass — one read of
+    the field + one int32 write (the roll-based predecessors_banded costs
+    ~20x that in HBM round trips: 175 ms vs the whole 3-round field solve at
+    1M x 256). Same contract as predecessors_banded (argmin class neighbor,
+    self when unexplained); requires n_residual == 0 (callers gate — with
+    residual edges the argmin must also see scatter-min updates)."""
+    if plan.n_residual:
+        raise ValueError("pallas pred recovery requires a residual-free plan")
+    if interpret is None:
+        interpret = not pallas_available()
+    Rp, Cp, Bp = d_pad.shape
+    R, C, V = plan.n_rows, plan.n_cols, plan.num_vertices
+
+    def pad_rows(p):
+        return jnp.pad(
+            p, [(0, Rp - R)] + [(0, 0)] * (p.ndim - 1), constant_values=INF
+        )
+
+    w8 = jnp.stack(
+        [
+            pad_rows(plan.a_fwd[:, 0, :]),
+            pad_rows(plan.a_bwd[:, 0, :]),
+            pad_rows(plan.down[:, 0, :]),
+            pad_rows(plan.down[:, 1, :]),
+            pad_rows(plan.down[:, 2, :]),
+            pad_rows(plan.up[:, 0, :]),
+            pad_rows(plan.up[:, 1, :]),
+            pad_rows(plan.up[:, 2, :]),
+        ]
+    )                                                       # [8, Rp, Cp]
+    rb, bb = _pick_blocks(Cp, dtype=d_pad.dtype)
+    pred = _predecessors_pallas_padded(
+        d_pad, w8, C=C, rb=rb, bb=bb, tol=tol, interpret=interpret
+    )
+    # lanes stay padded ([V, Bp]); callers slice [:, :B]
+    return pred[:R, :C, :].reshape(R * C, Bp)[:V]
+
+
+def extract_paths_vb(
+    pred_vb: jax.Array,      # [V, B] i32 predecessor map (lane-minor)
+    start_v: jax.Array,      # [B]
+    goal_v: jax.Array,       # [B]
+    max_len: int,
+) -> tuple[jax.Array, jax.Array]:
+    """sweeps.extract_path over a lane-minor [V, B] pred table — one [B]
+    point-gather per step, no [B, V] transpose. Returns ([B, L], [B, L])."""
+    B = start_v.shape[0]
+    lane = jnp.arange(B, dtype=jnp.int32)
+
+    def step(carry, _):
+        v, alive = carry
+        nxt = pred_vb[v, lane]
+        reached_end = (v == goal_v) | (nxt == v)
+        new_alive = alive & ~reached_end
+        return (jnp.where(new_alive, nxt, v), new_alive), (v, alive)
+
+    (_, _), (path, valid) = jax.lax.scan(
+        step, (start_v, jnp.ones(B, bool)), None, length=max_len
+    )
+    return path.T, valid.T
+
+
+def pred_at_vertices(
+    plan: BandedKernelPlan,
+    dist_bv: jax.Array,      # [B, V] converged labels (PlanResult.potential)
+    vids: jax.Array,         # [B, K] REAL vertex ids (per batch lane)
+    *,
+    tol: float = 1e-5,
+) -> jax.Array:
+    """On-the-fly predecessor lookup for a handful of vertices per lane —
+    pred[v] = argmin_u dist[u] + w(u, v) over the eight banded classes
+    (dijkstra_mesh_planner.cpp:320-347 relaxation inverted), pred = self when
+    no neighbor explains the label (source / isolated semantics of
+    predecessors_banded). Returns REAL vertex ids [B, K].
+
+    This replaces the full [B, V] predecessors_banded recovery on the light
+    path: the controller only needs preds at the tracked face's 3 vertices
+    (175 ms -> microseconds at 1M x 256)."""
+    B, K = vids.shape
+    V = plan.num_vertices
+    W8, offs = _inbound_tables(plan)
+
+    lane = jnp.arange(B, dtype=jnp.int32)[:, None]         # [B, 1]
+    u = vids[None, :, :] + offs[:, None, None]             # [8, B, K]
+    u_cl = jnp.clip(u, 0, V - 1)
+    du = dist_bv[lane[None], u_cl]                         # [8, B, K]
+    cand = du + W8[:, _to_padded_flat(plan, vids)]
+    best = jnp.min(cand, axis=0)
+    arg = jnp.argmin(cand, axis=0)
+    u_best = jnp.take_along_axis(u_cl, arg[None], axis=0)[0]   # [B, K]
+    dv = dist_bv[lane, vids]
+    has = (best <= dv * (1.0 + tol) + tol) & (dv > 0) & jnp.isfinite(dv)
+    return jnp.where(has, u_best, vids)
+
+
+def descend_paths(
+    plan: BandedKernelPlan,
+    dist_bv: jax.Array,      # [B, V] converged labels (PlanResult.potential)
+    start_v: jax.Array,      # [B] REAL vertex ids
+    goal_v: jax.Array,       # [B] REAL vertex ids (the seeds)
+    max_len: int,
+    *,
+    tol: float = 1e-5,
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy steepest-descent path extraction straight from the distance
+    field — the predecessor chain recomputed on the fly, one wavefront vertex
+    per step (pred backtracking contract of dijkstra_mesh_planner.cpp:367-373
+    and sweeps.extract_path, without ever materializing the [B, V] pred map).
+
+    Each step gathers the eight class-neighbor labels + in-edge weights as
+    two stacked [8, B] gathers and steps to the argmin. Descent stalls (no
+    finite improving neighbor — only possible off the banded classes or on
+    unreached lanes) end the chain with valid=False, matching extract_path's
+    termination-at-self behavior. Returns (path [B, max_len] REAL ids,
+    valid [B, max_len])."""
+    B = start_v.shape[0]
+    V = plan.num_vertices
+    W8, offs = _inbound_tables(plan)
+    lane = jnp.arange(B, dtype=jnp.int32)
+
+    def step(carry, _):
+        v, alive = carry                                   # [B]
+        dv = dist_bv[lane, v]
+        u = v[None, :] + offs[:, None]                     # [8, B]
+        u_cl = jnp.clip(u, 0, V - 1)
+        cand = dist_bv[lane[None], u_cl] + W8[:, _to_padded_flat(plan, v)]
+        best = jnp.min(cand, axis=0)
+        nxt = jnp.take_along_axis(
+            u_cl, jnp.argmin(cand, axis=0)[None], axis=0
+        )[0]
+        descends = (best <= dv * (1.0 + tol) + tol) & (dv > 0) & jnp.isfinite(dv)
+        reached_end = (v == goal_v) | ~descends
+        new_alive = alive & ~reached_end
+        return (jnp.where(new_alive, nxt, v), new_alive), (v, alive)
+
+    (_, _), (path_v, valid) = jax.lax.scan(
+        step, (start_v, jnp.ones(B, bool)), None, length=max_len
+    )
+    return path_v.T, valid.T                               # [B, L]
+
+
 def batched_field_banded_pallas(
     mesh: MeshArrays,
     weights_vd: jax.Array,
@@ -544,55 +935,17 @@ def batched_field_banded_pallas(
     recovered in f32 against the bf16 labels."""
     V = plan.num_vertices
     B = seeds.shape[0]
-    R, C, Cp = plan.n_rows, plan.n_cols, plan.n_cols_pad
-    if interpret is None:
-        interpret = not pallas_available()
-    if dtype == jnp.bfloat16:
-        atol = max(atol, 1e-3)
-        rtol = max(rtol, 4e-3)
-
-    prob = prepare_padded(plan, seeds, dtype=dtype)
-    d0, down, up, a_fwd, a_bwd, rb, bb = prob
-    Rp, _, Bp = d0.shape
-
-    has_residual = bool(plan.res_dst.shape[0])
-
-    def one_round(d):
-        d, chg_dn = _directional_pass_pallas(
-            d, down, a_fwd, a_bwd, reverse=False, rb=rb, bb=bb,
-            n_scan=plan.n_scan, atol=atol, rtol=rtol, interpret=interpret,
-        )
-        d, chg_up = _directional_pass_pallas(
-            d, up, a_fwd, a_bwd, reverse=True, rb=rb, bb=bb,
-            n_scan=plan.n_scan, atol=atol, rtol=rtol, interpret=interpret,
-        )
-        changed = chg_dn | chg_up
-        if has_residual:
-            flat = d.reshape(Rp * Cp, Bp)
-            cand = flat[plan.res_src] + plan.res_w[:, None].astype(dtype)
-            new = flat.at[plan.res_dst].min(cand)
-            changed |= jnp.any(new * (1.0 + rtol) + atol < flat)
-            d = new.reshape(Rp, Cp, Bp)
-        return d, changed
-
-    def cond(carry):
-        return carry[2] & (carry[1] < max_rounds)
-
-    def body(carry):
-        d, it, _ = carry
-        new, changed = one_round(d)
-        return new, it + 1, changed
-
-    d0, chg0 = one_round(d0)
-    d, rounds, changed = jax.lax.while_loop(
-        cond, body, (d0, jnp.int32(1), chg0)
+    R, C = plan.n_rows, plan.n_cols
+    res = banded_solve_padded(
+        plan, seeds, max_rounds=max_rounds, atol=atol, rtol=rtol,
+        interpret=interpret, dtype=dtype,
     )
 
     # unpad: [Rp, Cp, Bp] -> [V, B]
-    dist = d[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32)
+    dist = res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32)
 
     pred_tol = 1e-2 if dtype == jnp.bfloat16 else max(atol, 1e-6)
     pred = predecessors_banded(plan, dist, tol=pred_tol)
     return BandedPallasResult(
-        dist=dist.T, pred=pred.T, rounds=rounds, converged=~changed
+        dist=dist.T, pred=pred.T, rounds=res.rounds, converged=res.converged
     )

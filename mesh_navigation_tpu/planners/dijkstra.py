@@ -182,30 +182,55 @@ class DijkstraPlanner:
         — the fastest path on band-structured meshes: O(path winding) rounds
         instead of O(diameter) sweeps.
 
-        light=True skips the [B, V, 3] per-scenario vector fields (3 GB at
-        1M x 256 — returns vector_map=None); the controller samples
-        directions straight from `pred` via compute_velocity_pred.
+        light=True never materializes the [B, V] pred map or [B, V, 3]
+        vector fields (1 + 3 GB at 1M x 256 — vector_map/pred are None in
+        the result): paths come from greedy descent over the padded field
+        (ops.pallas_banded.descend_paths) and the controller samples
+        directions on the fly via compute_velocity_banded. Full pred
+        recovery was costing more than the entire 3-round field solve
+        (175 ms vs 183 ms at 1M x 256).
         dtype=jnp.bfloat16 opts into the approximate half-bandwidth solve."""
         from mesh_navigation_tpu.ops import pallas_banded as _pb
 
         mesh = self.mesh
         start_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(starts)
         goal_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(goals)
-        field = _pb.batched_field_banded_pallas(
-            mesh, weights_vd, kernel_plan, goal_v,
-            max_rounds=max(self.config.max_sweeps // 2, 64),
-            dtype=dtype,
-        )
-        finish = self._finish_batch_light if light else self._finish_batch
-        return jax.vmap(finish)(field.dist, field.pred, start_v, goal_v)
+        max_rounds = max(self.config.max_sweeps // 2, 64)
+        if not light:
+            field = _pb.batched_field_banded_pallas(
+                mesh, weights_vd, kernel_plan, goal_v,
+                max_rounds=max_rounds, dtype=dtype,
+            )
+            return jax.vmap(self._finish_batch)(
+                field.dist, field.pred, start_v, goal_v
+            )
 
-    def _finish_batch_light(self, dist, pred, sv, gv) -> PlanResult:
-        """Path + poses + outcome only — no dense [V, 3] vector field."""
-        mesh = self.mesh
-        path, valid = sweeps.extract_path(pred, sv, gv, self.max_path_len)
+        res = _pb.banded_solve_padded(
+            kernel_plan, goal_v, max_rounds=max_rounds, dtype=dtype
+        )
+        B = start_v.shape[0]
+        R, C = kernel_plan.n_rows, kernel_plan.n_cols
+        V = kernel_plan.num_vertices
+        potential = (
+            res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32).T
+        )                                                       # [B, V]
+        tol = 1e-2 if dtype == jnp.bfloat16 else 1e-5
+        if kernel_plan.n_residual == 0:
+            pred_vb = _pb.predecessors_banded_pallas(
+                kernel_plan, res.d_pad, tol=tol
+            )[:, :B]
+        else:
+            pred_vb = _pb.predecessors_banded(
+                kernel_plan, potential.T, tol=tol
+            )
+        path, valid = _pb.extract_paths_vb(
+            pred_vb, start_v, goal_v, self.max_path_len
+        )                                                       # [B, L]
         positions = mesh.vertices[path]
-        quats, cost = pose_chain(positions, valid, mesh.vertex_normals[path])
-        reached = jnp.isfinite(dist[sv])
+        quats, cost = jax.vmap(pose_chain)(
+            positions, valid, mesh.vertex_normals[path]
+        )
+        reached = jnp.isfinite(potential[jnp.arange(B), start_v])
         outcome = jnp.where(
             reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND
         ).astype(jnp.int32)
@@ -213,11 +238,11 @@ class DijkstraPlanner:
             outcome=outcome,
             path_positions=positions,
             path_quats=quats,
-            path_valid=valid & reached,
+            path_valid=valid & reached[:, None],
             cost=jnp.where(reached, cost, jnp.inf),
-            potential=dist,
+            potential=potential,
             vector_map=None,
-            pred=pred,
+            pred=None,
         )
 
     def prepare_offset_plan(self, weights_vd: jax.Array):

@@ -175,3 +175,119 @@ def test_plan_batch_banded_light_matches_full():
     np.testing.assert_array_equal(
         np.asarray(full.path_valid), np.asarray(light.path_valid)
     )
+
+
+def test_descend_paths_matches_pred_chain():
+    """Greedy descent over the label field must reproduce the full-pred
+    backtracking chain (same vertices while both valid, same endpoints)."""
+    m = _terrain16()
+    costs = np.asarray(
+        0.1 * np.sin(np.arange(m.num_vertices)) ** 2, np.float32
+    )
+    _, W = _weights(m, costs)
+    plan = pallas_banded.build_banded_kernel_plan(m, W)
+    seeds = jnp.asarray([5, 200], jnp.int32)
+    res = pallas_banded.batched_field_banded_pallas(m, W, plan, seeds)
+    starts = jnp.asarray([250, 17], jnp.int32)
+
+    path_d, valid_d = pallas_banded.descend_paths(
+        plan, res.dist, starts, seeds, 64
+    )
+    for b in range(2):
+        path_p, valid_p = sweeps.extract_path(
+            res.pred[b], starts[b], seeds[b], 64
+        )
+        np.testing.assert_array_equal(np.asarray(valid_d[b]), np.asarray(valid_p))
+        nv = int(np.asarray(valid_p).sum())
+        np.testing.assert_array_equal(
+            np.asarray(path_d[b][:nv]), np.asarray(path_p[:nv])
+        )
+        # chain actually ends at the seed
+        assert int(path_d[b][nv - 1]) != int(path_d[b][nv]) or int(
+            path_d[b][nv]
+        ) == int(seeds[b])
+
+
+def test_pred_at_vertices_matches_full_recovery():
+    m = _terrain16()
+    costs = np.zeros(m.num_vertices, np.float32)
+    _, W = _weights(m, costs)
+    plan = pallas_banded.build_banded_kernel_plan(m, W)
+    seeds = jnp.asarray([0, 100], jnp.int32)
+    res = pallas_banded.batched_field_banded_pallas(m, W, plan, seeds)
+
+    rng = np.random.default_rng(0)
+    vids = jnp.asarray(rng.integers(0, m.num_vertices, size=(2, 5)), jnp.int32)
+    preds = pallas_banded.pred_at_vertices(plan, res.dist, vids)
+    # fixed-point-explanation contract: dist[pred] + w(pred, v) == dist[v]
+    from mesh_navigation_tpu.mesh.arrays import host_array
+
+    adj = host_array(m, "adj_vertex")
+    msk = host_array(m, "adj_mask")
+    Wnp = np.asarray(W)
+    dist = np.asarray(res.dist)
+    full_pred = np.asarray(res.pred)
+    for b in range(2):
+        for k in range(5):
+            v = int(vids[b, k])
+            p = int(preds[b, k])
+            fp = int(full_pred[b, v])
+            if fp == v:
+                assert p == v, (v, p)
+            else:
+                slots = np.nonzero((adj[v] == p) & msk[v])[0]
+                assert slots.size == 1, (v, p)
+                w = Wnp[v, slots[0]]
+                np.testing.assert_allclose(
+                    dist[b, p] + w, dist[b, v], rtol=1e-5, atol=1e-5
+                )
+
+
+def test_predecessors_pallas_matches_rolls():
+    """The single-pass Pallas pred recovery must agree with the roll-based
+    predecessors_banded on a residual-free terrain plan."""
+    m = _terrain16()
+    costs = np.asarray(
+        0.1 * np.sin(np.arange(m.num_vertices)) ** 2, np.float32
+    )
+    _, W = _weights(m, costs)
+    plan = pallas_banded.build_banded_kernel_plan(m, W)
+    assert plan.n_residual == 0
+    seeds = jnp.asarray([5, 200], jnp.int32)
+    res = pallas_banded.banded_solve_padded(plan, seeds)
+    B = 2
+    R, C, V = plan.n_rows, plan.n_cols, plan.num_vertices
+    dist_vb = res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32)
+
+    pred_ref = np.asarray(pallas_banded.predecessors_banded(plan, dist_vb))
+    pred_k = np.asarray(
+        pallas_banded.predecessors_banded_pallas(plan, res.d_pad)[:, :B]
+    )
+    dist = np.asarray(dist_vb)
+    # ties may break to a different class: accept when both preds explain
+    # the label to tolerance (same criterion, same cost chains)
+    diff = np.nonzero(pred_k != pred_ref)
+    for v, b in zip(*diff):
+        dp = dist[pred_k[v, b], b]
+        dr = dist[pred_ref[v, b], b]
+        assert np.isfinite(dp) and np.isfinite(dr), (v, b)
+    # and the disagreement set must be tiny (ties only)
+    assert len(diff[0]) <= 0.01 * m.num_vertices * B
+
+
+def test_extract_paths_vb_matches_extract_path():
+    m = _terrain16()
+    costs = np.zeros(m.num_vertices, np.float32)
+    _, W = _weights(m, costs)
+    plan = pallas_banded.build_banded_kernel_plan(m, W)
+    seeds = jnp.asarray([5, 200], jnp.int32)
+    res = pallas_banded.batched_field_banded_pallas(m, W, plan, seeds)
+    starts = jnp.asarray([250, 17], jnp.int32)
+    pred_vb = res.pred.T  # [V, B]
+    path_vb, valid_vb = pallas_banded.extract_paths_vb(
+        pred_vb, starts, seeds, 64
+    )
+    for b in range(2):
+        path_p, valid_p = sweeps.extract_path(res.pred[b], starts[b], seeds[b], 64)
+        np.testing.assert_array_equal(np.asarray(path_vb[b]), np.asarray(path_p))
+        np.testing.assert_array_equal(np.asarray(valid_vb[b]), np.asarray(valid_p))
