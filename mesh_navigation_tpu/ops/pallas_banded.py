@@ -280,12 +280,15 @@ def _pass_kernel(
     def _():
         prev_ref[:] = jnp.full(prev_ref.shape, INF, prev_ref.dtype)
 
-    prev = prev_ref[:]                       # [Cp, BB]
+    prev = prev_ref[:]                       # [Cp, BB] f32 carry
     changed = jnp.bool_(False)
     rows = range(rb - 1, -1, -1) if reverse else range(rb)
     for r in rows:
-        cur = dist_ref[r]                    # [Cp, BB]
-        cross = cross_ref[r]                 # [3, Cp]
+        # compute in f32 regardless of the storage dtype (Mosaic can't
+        # broadcast-insert minor dims on 16-bit types, and f32 VPU math
+        # costs the same — bf16 only saves HBM/VMEM traffic on the field)
+        cur = dist_ref[r].astype(jnp.float32)   # [Cp, BB]
+        cross = cross_ref[r]                 # [3, Cp] f32
         # inbound from the carried row: source columns c-1, c, c+1
         cand = jnp.minimum(
             jnp.minimum(
@@ -324,19 +327,21 @@ def _pass_kernel(
             # Requires full scan depth + no residual edges (callers gate).
             need = imp
             if force:
-                need |= jnp.any(jnp.isfinite(row0))
-            out_ref[r] = row0
+                # labels are finite or +inf by construction (no NaN), and
+                # Mosaic's is_finite only lowers for f32 — compare instead
+                need |= jnp.any(row0 < jnp.inf)
+            out_ref[r] = row0.astype(out_ref.dtype)
 
             @pl.when(need)
             def _():
-                out_ref[r] = scan_row(row0)
+                out_ref[r] = scan_row(row0).astype(out_ref.dtype)
 
             changed |= imp
-            prev = out_ref[r]
+            prev = out_ref[r].astype(jnp.float32)
         else:
             row = scan_row(row0)
             changed |= jnp.any(row * (1.0 + rtol) + atol < cur)
-            out_ref[r] = row
+            out_ref[r] = row.astype(out_ref.dtype)
             prev = row
     prev_ref[:] = prev
     chg_ref[0, 0] |= changed.astype(jnp.int32)
@@ -400,7 +405,7 @@ def _directional_pass_pallas(
             jax.ShapeDtypeStruct((Rp, Cp, Bp), d.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((Cp, bb), d.dtype)],
+        scratch_shapes=[pltpu.VMEM((Cp, bb), jnp.float32)],
         input_output_aliases={0: 0},
         interpret=interpret,
     )(d, cross, a_fwd, a_bwd)
@@ -531,9 +536,10 @@ def prepare_padded(
     Rp = _round_up(R, rb)
     Bp = _round_up(B, bb)
 
-    def pad_rows(p):  # [R, .., Cp] -> [Rp, .., Cp] inf rows
+    def pad_rows(p):  # [R, .., Cp] -> [Rp, .., Cp] inf rows; planes stay
+        # f32 — only the distance field itself takes the storage dtype
         padw = [(0, Rp - R)] + [(0, 0)] * (p.ndim - 1)
-        return jnp.pad(p, padw, constant_values=INF).astype(dtype)
+        return jnp.pad(p, padw, constant_values=INF).astype(jnp.float32)
 
     rows = seeds // C
     cols = seeds % C
@@ -678,7 +684,8 @@ def _pred_kernel(
     dist_ref,    # [rb, Cp, bb] center rows
     up_ref,      # [1, Cp, bb] row above the block (clamped at the top)
     dn_ref,      # [1, Cp, bb] row below the block (clamped at the bottom)
-    w8_ref,      # [8, rb, Cp] in-edge weight planes (class-major)
+    w8_ref,      # [rb, 8, Cp] in-edge weight planes (row-major so the
+                 # blocked trailing dims are (8, Cp) — Mosaic full-dim rule)
     pred_ref,    # [rb, Cp, bb] i32 out: REAL-id predecessor
 ):
     i = pl.program_id(1)
@@ -709,7 +716,7 @@ def _pred_kernel(
         best = jnp.full((Cp, bb), INF, jnp.float32)
         rel = jnp.zeros((Cp, bb), jnp.int32)
         for k in range(8):
-            cand = srcs[k] + w8_ref[k, r, :][:, None]
+            cand = srcs[k] + w8_ref[r, k, :][:, None]
             take = cand < best
             best = jnp.where(take, cand, best)
             rel = jnp.where(take, jnp.int32(off_real[k]), rel)
@@ -723,7 +730,7 @@ def _pred_kernel(
 )
 def _predecessors_pallas_padded(
     d: jax.Array,        # [Rp, Cp, Bp] converged field
-    w8: jax.Array,       # [8, Rp, Cp] in-edge weight planes
+    w8: jax.Array,       # [Rp, 8, Cp] in-edge weight planes
     *,
     C: int,
     rb: int,
@@ -748,7 +755,7 @@ def _predecessors_pallas_padded(
                          lambda j, i, rb=rb, last=Rp - 1: (
                              jnp.minimum((i + 1) * rb, last), 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, rb, Cp), lambda j, i: (0, i, 0),
+            pl.BlockSpec((rb, 8, Cp), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rb, Cp, bb), lambda j, i: (i, 0, j),
@@ -794,8 +801,9 @@ def predecessors_banded_pallas(
             pad_rows(plan.up[:, 0, :]),
             pad_rows(plan.up[:, 1, :]),
             pad_rows(plan.up[:, 2, :]),
-        ]
-    )                                                       # [8, Rp, Cp]
+        ],
+        axis=1,
+    )                                                       # [Rp, 8, Cp]
     rb, bb = _pick_blocks(Cp, dtype=d_pad.dtype)
     pred = _predecessors_pallas_padded(
         d_pad, w8, C=C, rb=rb, bb=bb, tol=tol, interpret=interpret

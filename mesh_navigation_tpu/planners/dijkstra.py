@@ -205,15 +205,25 @@ class DijkstraPlanner:
                 field.dist, field.pred, start_v, goal_v
             )
 
-        res = _pb.banded_solve_padded(
-            kernel_plan, goal_v, max_rounds=max_rounds, dtype=dtype
-        )
+        # Sort scenarios by goal vertex (row-major id => by mesh row): the
+        # kernel's 128-lane batch blocks then hold NEIGHBORING wavefronts,
+        # so the active-row skip prunes whole blocks instead of being
+        # defeated by one far-away lane per block. Outputs are un-permuted
+        # at the end — callers never see the sorted order.
         B = start_v.shape[0]
+        order = jnp.argsort(goal_v)
+        inv = jnp.argsort(order)
+        goal_s = goal_v[order]
+        start_s = start_v[order]
+
+        res = _pb.banded_solve_padded(
+            kernel_plan, goal_s, max_rounds=max_rounds, dtype=dtype
+        )
         R, C = kernel_plan.n_rows, kernel_plan.n_cols
         V = kernel_plan.num_vertices
         potential = (
             res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32).T
-        )                                                       # [B, V]
+        )                                                       # [B, V] sorted
         tol = 1e-2 if dtype == jnp.bfloat16 else 1e-5
         if kernel_plan.n_residual == 0:
             pred_vb = _pb.predecessors_banded_pallas(
@@ -224,23 +234,23 @@ class DijkstraPlanner:
                 kernel_plan, potential.T, tol=tol
             )
         path, valid = _pb.extract_paths_vb(
-            pred_vb, start_v, goal_v, self.max_path_len
-        )                                                       # [B, L]
+            pred_vb, start_s, goal_s, self.max_path_len
+        )                                                       # [B, L] sorted
         positions = mesh.vertices[path]
         quats, cost = jax.vmap(pose_chain)(
             positions, valid, mesh.vertex_normals[path]
         )
-        reached = jnp.isfinite(potential[jnp.arange(B), start_v])
+        reached = jnp.isfinite(potential[jnp.arange(B), start_s])
         outcome = jnp.where(
             reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND
         ).astype(jnp.int32)
         return PlanResult(
-            outcome=outcome,
-            path_positions=positions,
-            path_quats=quats,
-            path_valid=valid & reached[:, None],
-            cost=jnp.where(reached, cost, jnp.inf),
-            potential=potential,
+            outcome=outcome[inv],
+            path_positions=positions[inv],
+            path_quats=quats[inv],
+            path_valid=(valid & reached[:, None])[inv],
+            cost=jnp.where(reached, cost, jnp.inf)[inv],
+            potential=potential[inv],
             vector_map=None,
             pred=None,
         )
