@@ -77,7 +77,16 @@ class MeshNavServer:
     # ------------------------------------------------------------------
     # map / layer plumbing (MeshMap::readMap tail, mesh_map.cpp:434-452)
     # ------------------------------------------------------------------
-    def _refresh_costs(self) -> None:
+    def _refresh_costs(self, *, structural: bool = True) -> None:
+        """Recompute layer outputs -> combined costs -> edge/slot weights.
+
+        structural=True (init, layer-graph/param changes) additionally
+        rebuilds the host-side offset/banded classifications. The hot path
+        (update_point_cloud) passes structural=False: the classification
+        depends only on the mesh adjacency, so only the weight PLANES are
+        re-derived — on device, via refresh_banded_planes /
+        refresh_offset_planes, with zero device->host pulls (the
+        layer_manager.cpp:202-263 change fan-out at replanning rate)."""
         if self.stack is not None:
             self.layer_outputs, self.vertex_costs = self.stack.compute(
                 self.mesh, self.layer_state
@@ -95,20 +104,35 @@ class MeshNavServer:
             self.mesh, self.edge_weights, self.vertex_costs,
             self.config.planner.cost_limit,
         )
-        # offset classification for the structured batch solver (rebuilt with
-        # the cost field; used by get_path_batch on the dijkstra planner)
-        if isinstance(self.planner, DijkstraPlanner):
+        if not isinstance(self.planner, DijkstraPlanner):
+            self.offset_plan = None
+            self.banded_plan = None
+            return
+        if structural or (self.offset_plan is None and self.banded_plan is None):
+            # one host transfer at build time; classification is reused by
+            # every subsequent device-side refresh
             self.offset_plan = self.planner.prepare_offset_plan(self.slot_weights)
             self.banded_plan = self.planner.prepare_banded_plan(self.slot_weights)
         else:
-            self.offset_plan = None
-            self.banded_plan = None
+            from mesh_navigation_tpu.ops import pallas_banded as _pb
+            from mesh_navigation_tpu.ops import structured as _structured
+
+            if self.banded_plan is not None:
+                self.banded_plan = _pb.refresh_banded_planes(
+                    self.banded_plan, self.slot_weights
+                )
+            if self.offset_plan is not None:
+                self.offset_plan = _structured.refresh_offset_planes(
+                    self.offset_plan, self.slot_weights
+                )
 
     def update_point_cloud(self, layer_name: str, points: jax.Array) -> None:
         """Obstacle-layer sensor update -> layer cascade re-evaluation
-        (the §3.5 change path, minus DDS)."""
+        (the §3.5 change path, minus DDS). Runs entirely on device: the
+        banded/offset solver plans are refreshed via their slot maps
+        (structural=False), never rebuilt host-side."""
         self.layer_state[f"obstacle:{layer_name}:points"] = points
-        self._refresh_costs()
+        self._refresh_costs(structural=False)
         self.layer_state.pop(f"obstacle:{layer_name}:points", None)
 
     # ------------------------------------------------------------------
@@ -274,7 +298,7 @@ class MeshNavServer:
         mesh_map.cpp:1307-1310 — implemented here)."""
         for key in [k for k in self.layer_state if k.startswith("obstacle:")]:
             del self.layer_state[key]
-        self._refresh_costs()
+        self._refresh_costs(structural=False)
         return True
 
     # ------------------------------------------------------------------

@@ -135,7 +135,7 @@ class MeshController:
         raw_dir = geometry.bary_interpolate(rows, fix.bary)
         return self._finish_velocity(fix, raw_dir, vertex_costs, orientation, state)
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, static_argnames=("tol",))
     def compute_velocity_banded(
         self,
         kernel_plan,              # ops.pallas_banded.BandedKernelPlan
@@ -144,12 +144,19 @@ class MeshController:
         positions: jax.Array,     # [B, 3]
         orientations: jax.Array,  # [B, 4]
         states: ControllerState,  # batched ([B] leaves)
+        *,
+        tol: float = 1e-5,
     ) -> tuple[VelocityCommand, ControllerState]:
         """Batched control cycle on the banded solver's label field: the
         direction rows are recovered on the fly (pred_at_vertices) at just
         the tracked face's 3 vertices per lane — no [B, V] pred map and no
         [B, V, 3] vector field ever materialize (the 1M x 256 light path).
-        Same control law as compute_velocity_pred, batched over lanes."""
+        Same control law as compute_velocity_pred, batched over lanes.
+
+        `tol` must match the solve dtype: labels from a bfloat16 solve carry
+        ~0.4% relative error, so the "neighbor explains the label" check in
+        pred_at_vertices needs tol=1e-2 (the same dtype-dependent tolerance
+        plan_batch_banded uses); the f32 default is 1e-5."""
         from mesh_navigation_tpu.ops import pallas_banded as _pb
 
         mesh = self.mesh
@@ -162,7 +169,7 @@ class MeshController:
 
         fix = jax.vmap(_locate)(positions, states.current_face)
         vids = mesh.faces[jnp.maximum(fix.face, 0)]            # [B, 3]
-        preds = _pb.pred_at_vertices(kernel_plan, dist_bv, vids)  # [B, 3]
+        preds = _pb.pred_at_vertices(kernel_plan, dist_bv, vids, tol=tol)  # [B, 3]
         d = mesh.vertices[preds] - mesh.vertices[vids]
         unit = d / jnp.maximum(
             jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12

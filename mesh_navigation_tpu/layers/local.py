@@ -189,13 +189,26 @@ def make_clearance(cfg: LayerConfig):
     Defaults robot_height=0.5, height_inflation=0.3."""
     robot_height = cfg.param("robot_height", 0.5)
     height_inflation = cfg.param("height_inflation", 0.3)
+    max_dist = robot_height + height_inflation + 0.1
+
+    def prepare(m: MeshArrays) -> dict:
+        # 3D face grid: O(V·probe·steps) normal rays instead of O(V·F)
+        # brute force — required at 1M vertices (the full configs[2]/[3]
+        # layer stack)
+        from mesh_navigation_tpu.ops.raycast import build_face_grid3d
+
+        return {"clearance:grid3d": build_face_grid3d(m)}
 
     def fn(mesh: MeshArrays, inputs, state) -> LayerOutput:
-        from mesh_navigation_tpu.ops.raycast import vertex_clearance
-
-        clearance = vertex_clearance(
-            mesh, max_dist=robot_height + height_inflation + 0.1
+        from mesh_navigation_tpu.ops.raycast import (
+            vertex_clearance, vertex_clearance_grid,
         )
+
+        g = state.get("clearance:grid3d")
+        if g is not None:
+            clearance = vertex_clearance_grid(mesh, g, max_dist)
+        else:
+            clearance = vertex_clearance(mesh, max_dist=max_dist)
         diff = clearance - robot_height
         fade = (jnp.cos(diff * jnp.pi / jnp.maximum(height_inflation, 1e-6)) + 1.0) * 0.5
         costs = jnp.where(
@@ -206,4 +219,5 @@ def make_clearance(cfg: LayerConfig):
         lethal = clearance < robot_height
         return LayerOutput(costs=costs, lethal=lethal, vectors=zero_vectors(mesh))
 
+    fn.prepare = prepare  # type: ignore[attr-defined]
     return fn

@@ -41,14 +41,17 @@ def process_point_cloud(
     *,
     sensor_origin: jax.Array | None = None,
     face_grid: "raycast.FaceGrid2D | None" = None,
+    face_grid3d: "raycast.FaceGrid3D | None" = None,
 ) -> jax.Array:
     """Returns the new lethal mask [V] bool.
 
     Points are range-filtered around `sensor_origin` (obstacle_layer.cpp:
     214-227), rays are cast from each point along `down_axis`, and faces hit
     within `robot_height` make their three vertices lethal (241-256). With a
-    `face_grid` and a vertical down axis the cast uses the xy face bins
-    (Embree-class speed) instead of brute force.
+    `face_grid` and a vertical down axis the cast uses the xy face bins;
+    arbitrary down axes use the 3D DDA grid (`face_grid3d`) — hits beyond
+    robot_height are discarded anyway, so the walk only needs to cover that
+    distance. Brute force is the no-grid fallback.
     """
     down = jnp.asarray(params.down_axis, jnp.float32)
     down = down / jnp.maximum(jnp.linalg.norm(down), 1e-12)
@@ -61,6 +64,16 @@ def process_point_cloud(
     if face_grid is not None and vertical:
         t, face_id, hit = raycast.raycast_vertical(
             mesh, face_grid, safe_points, down=params.down_axis[2] < 0
+        )
+    elif face_grid3d is not None:
+        import numpy as _np
+
+        n_steps = int(
+            _np.ceil(params.robot_height / max(face_grid3d.cell_size_static, 1e-6))
+        ) + 2
+        dirs = jnp.broadcast_to(down, safe_points.shape)
+        t, face_id, hit = raycast.raycast_grid(
+            mesh, face_grid3d, safe_points, dirs, n_steps=n_steps
         )
     else:
         dirs = jnp.broadcast_to(down, safe_points.shape)
@@ -98,6 +111,8 @@ def make_obstacle(cfg: LayerConfig):
             lethal = process_point_cloud(
                 mesh, state[key_pts], params,
                 face_grid=state.get("__face_grid__"),
+                face_grid3d=state.get("clearance:grid3d")
+                or state.get("__face_grid3d__"),
             )
             state[key_lethal] = lethal
         elif key_lethal in state:

@@ -33,21 +33,41 @@ INVALID = np.int32(-1)
 # (for meshes not built through build_mesh) are cached so each field is
 # transferred at most once.
 # ---------------------------------------------------------------------------
-_HOST_TABLES: dict[int, dict[str, np.ndarray]] = {}
+# key -> (anchor, tables). The anchor is the mesh's vertices array itself:
+# keying by id() alone is unsound (Python reuses ids after GC, so a new mesh
+# could silently read another mesh's cached tables — observed as a wrong
+# banded plan when two meshes were built in one test session); holding a
+# reference pins the id for the lifetime of the cache entry.
+_HOST_TABLES: dict[int, tuple[object, dict[str, np.ndarray]]] = {}
 
 
 def _mesh_key(mesh: "MeshArrays") -> int:
     return id(mesh.vertices)
 
 
+def _mesh_cache(mesh: "MeshArrays") -> dict:
+    key = _mesh_key(mesh)
+    entry = _HOST_TABLES.get(key)
+    if entry is None or entry[0] is not mesh.vertices:
+        entry = (mesh.vertices, {})
+        _HOST_TABLES[key] = entry
+    return entry[1]
+
+
 def register_host_arrays(mesh: "MeshArrays", arrays: dict[str, np.ndarray]) -> None:
-    _HOST_TABLES.setdefault(_mesh_key(mesh), {}).update(arrays)
+    _mesh_cache(mesh).update(arrays)
+
+
+def host_array_opt(mesh: "MeshArrays", name: str):
+    """Registered host-side metadata (e.g. `band_hint` from reorder_mesh) —
+    returns None when absent instead of pulling from the device."""
+    return _mesh_cache(mesh).get(name)
 
 
 def host_array(mesh: "MeshArrays", name: str) -> np.ndarray:
     """Numpy mirror of a MeshArrays field, avoiding device->host transfers
     whenever the mesh was built on the host (always true for build_mesh/io)."""
-    cache = _HOST_TABLES.setdefault(_mesh_key(mesh), {})
+    cache = _mesh_cache(mesh)
     if name not in cache:
         cache[name] = np.asarray(getattr(mesh, name))
     return cache[name]

@@ -21,7 +21,14 @@ from mesh_navigation_tpu.mesh.arrays import MeshArrays, host_array
 from mesh_navigation_tpu.mesh import geometry
 
 
-@jax.tree_util.register_dataclass
+import functools
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("origin", "cell_size", "dims", "cell_start", "sorted_vertices"),
+    meta_fields=("max_per_cell",),
+)
 @dataclasses.dataclass(frozen=True)
 class SpatialGrid:
     """Uniform hash grid over vertex positions (host-built, device-queried)."""
@@ -30,7 +37,7 @@ class SpatialGrid:
     dims: jax.Array          # [3] i32 number of cells per axis
     cell_start: jax.Array    # [C+1] i32 prefix offsets into sorted_vertices
     sorted_vertices: jax.Array  # [V] i32 vertex ids sorted by cell
-    max_per_cell: jax.Array  # [] i32 (static metadata, kept as array)
+    max_per_cell: int = 32   # static: probes sized to this are EXACT
 
 
 def build_grid(mesh: MeshArrays, cell_size: float | None = None) -> SpatialGrid:
@@ -56,7 +63,7 @@ def build_grid(mesh: MeshArrays, cell_size: float | None = None) -> SpatialGrid:
         dims=jnp.asarray(dims.astype(np.int32)),
         cell_start=jnp.asarray(cell_start),
         sorted_vertices=jnp.asarray(order.astype(np.int32)),
-        max_per_cell=jnp.int32(int(counts.max()) if len(counts) else 0),
+        max_per_cell=int(counts.max()) if len(counts) else 1,
     )
 
 
@@ -65,15 +72,17 @@ def nearest_vertex(
     grid: SpatialGrid,
     point: jax.Array,
     *,
-    probe: int = 32,
+    probe: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Nearest vertex to `point` via a 3x3x3 cell probe.
 
     Replaces MeshMap::getNearestVertexHandle (mesh_map.cpp:1161-1174). Each of
-    the 27 cells contributes up to `probe` candidates (static bound); on
-    overflow the probe silently truncates — callers size `probe` from
-    grid.max_per_cell at trace time. Returns (vertex_id, distance_sq).
-    """
+    the 27 cells contributes up to `probe` candidates; the default
+    (grid.max_per_cell, typically 4-8 at 2x-edge cell size) makes the probe
+    EXACT while keeping the gather footprint ~4x smaller than a fixed 32.
+    Returns (vertex_id, distance_sq)."""
+    if probe <= 0:
+        probe = max(1, grid.max_per_cell)
     cell = jnp.floor((point - grid.origin) / grid.cell_size).astype(jnp.int32)
     cell = jnp.clip(cell, 0, grid.dims - 1)
     offsets = jnp.stack(
@@ -101,7 +110,7 @@ def containing_face(
     point: jax.Array,
     max_dist: float = 0.4,
     *,
-    probe: int = 32,
+    probe: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Containing face search: nearest vertex, then scan its incident faces
     for the minimum |projected distance| barycentric hit — parity with

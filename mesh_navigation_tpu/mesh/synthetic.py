@@ -115,3 +115,52 @@ def icosphere(subdivisions: int = 2, radius: float = 1.0) -> tuple[np.ndarray, n
 
     verts = verts / np.linalg.norm(verts, axis=1, keepdims=True) * radius
     return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def irregular_terrain_mesh(
+    nx: int,
+    ny: int,
+    *,
+    spacing: float = 1.0,
+    jitter: float = 0.45,
+    roughness: float = 0.0,
+    hills: float = 0.0,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Irregular (scanned-style) terrain: grid sample positions jittered in
+    the plane by up to `jitter`·spacing, then RE-TRIANGULATED by Delaunay —
+    the topology is genuinely non-grid (vertex degrees ~3..20, no constant
+    index offsets), the class of mesh the reference's planners consume
+    (arbitrary PMPMesh, dijkstra_mesh_planner.cpp:217-398). Heights use the
+    same hill/noise model as terrain_mesh."""
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0, 2 * np.pi, size=(4,))
+    xs, ys = np.meshgrid(
+        np.arange(nx, dtype=np.float64) * spacing,
+        np.arange(ny, dtype=np.float64) * spacing,
+        indexing="ij",
+    )
+    pts = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    pts += rng.uniform(-jitter, jitter, pts.shape) * spacing
+    tri = Delaunay(pts)
+    faces = tri.simplices.astype(np.int32)
+    x, y = pts[:, 0], pts[:, 1]
+    z = np.zeros_like(x)
+    if hills:
+        z = hills * (
+            np.sin(x * 0.05 + phase[0]) * np.cos(y * 0.07 + phase[1])
+            + 0.5 * np.sin(x * 0.11 + phase[2]) * np.sin(y * 0.13 + phase[3])
+        )
+    if roughness:
+        z = z + rng.normal(0.0, roughness, size=x.shape)
+    vertices = np.stack([x, y, z], axis=1).astype(np.float32)
+    # Delaunay orientation is arbitrary; flip to CCW seen from +z
+    p0, p1, p2 = pts[faces[:, 0]], pts[faces[:, 1]], pts[faces[:, 2]]
+    area2 = (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1]) - (
+        p1[:, 1] - p0[:, 1]
+    ) * (p2[:, 0] - p0[:, 0])
+    flip = area2 < 0
+    faces[flip] = faces[flip][:, ::-1]
+    return vertices, faces

@@ -76,7 +76,15 @@ class BandedPlan:
 
 def infer_band_width(mesh: MeshArrays) -> int:
     """Most common |offset| > 2 in the adjacency — the grid minor-axis length
-    for x-major terrain meshes."""
+    for x-major terrain meshes. A `band_hint` registered by
+    mesh.reorder.reorder_mesh (the row width it binned with) takes
+    precedence — on irregular reordered meshes the offset histogram jitters
+    around the true width."""
+    from mesh_navigation_tpu.mesh.arrays import host_array_opt
+
+    hint = host_array_opt(mesh, "band_hint")
+    if hint is not None:
+        return int(hint)
     adj = host_array(mesh, "adj_vertex")
     V = adj.shape[0]
     delta = np.abs(adj - np.arange(V)[:, None])

@@ -181,7 +181,7 @@ def batched_field_hybrid(
 
     if init_vb is not None:
         # any valid upper bound converges to the same fixed point (e.g. a
-        # landmark warm start, ops/landmarks.py); clamp the seeds to zero
+        # prior solve of a nearby cost field); clamp the seeds to zero
         dist0 = jnp.minimum(
             init_vb,
             jnp.where(

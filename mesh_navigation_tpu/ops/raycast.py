@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -159,3 +160,173 @@ def vertex_clearance(
     )
     t = t + offset
     return jnp.where(hit & (t < max_dist), t, max_dist).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("origin", "cell_size", "dims", "cell_start", "bucket_faces"),
+    meta_fields=("max_per_cell", "cell_size_static"),
+)
+@dataclasses.dataclass(frozen=True)
+class FaceGrid3D:
+    """Uniform 3D face binning (CSR buckets) for ARBITRARY ray directions —
+    the general castRays substrate (lvr2 Embree/BVHRaycaster replacement,
+    mesh_map.cpp:315-324) usable at 1M+ faces: each ray DDA-walks its cells
+    and tests only the resident faces, instead of the O(F) brute force."""
+    origin: jax.Array        # [3] f32
+    cell_size: jax.Array     # [] f32
+    dims: jax.Array          # [3] i32
+    cell_start: jax.Array    # [C+1] i32 CSR offsets
+    bucket_faces: jax.Array  # [Z] i32 face ids, cell-sorted
+    max_per_cell: int        # static: largest bucket (safe probe size)
+    cell_size_static: float = 1.0   # static mirror (jit-safe step sizing)
+
+
+def build_face_grid3d(
+    mesh: MeshArrays, cell_size: float | None = None
+) -> FaceGrid3D:
+    """Host-side: bin each face into every 3D cell its AABB overlaps
+    (vectorized over the small per-axis span — faces are edge-length scale,
+    cells are ~2 edge lengths, so spans are 1-2 cells)."""
+    import numpy as np
+
+    tris = host_array(mesh, "vertices")[host_array(mesh, "faces")]   # [F, 3, 3]
+    F = len(tris)
+    if cell_size is None:
+        ed = host_array(mesh, "edge_dist")
+        cell_size = 2.0 * float(ed.mean()) if len(ed) else 1.0
+    lo = tris.min(axis=(0, 1)) - 1e-4
+    hi = tris.max(axis=(0, 1)) + 1e-4
+    dims = np.maximum(np.ceil((hi - lo) / cell_size).astype(np.int64), 1)
+    fmin = np.clip(
+        np.floor((tris.min(axis=1) - lo) / cell_size).astype(np.int64), 0, dims - 1
+    )
+    fmax = np.clip(
+        np.floor((tris.max(axis=1) - lo) / cell_size).astype(np.int64), 0, dims - 1
+    )
+    span = fmax - fmin                                            # [F, 3]
+    max_span = span.max(axis=0) if F else np.zeros(3, np.int64)
+    cells_list = []
+    faces_list = []
+    fidx = np.arange(F, dtype=np.int64)
+    for dx in range(int(max_span[0]) + 1):
+        for dy in range(int(max_span[1]) + 1):
+            for dz in range(int(max_span[2]) + 1):
+                sel = (span[:, 0] >= dx) & (span[:, 1] >= dy) & (span[:, 2] >= dz)
+                c = fmin[sel] + np.asarray([dx, dy, dz])
+                cells_list.append((c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2])
+                faces_list.append(fidx[sel])
+    cells = np.concatenate(cells_list) if cells_list else np.zeros(0, np.int64)
+    facez = np.concatenate(faces_list) if faces_list else np.zeros(0, np.int64)
+    order = np.argsort(cells, kind="stable")
+    cells, facez = cells[order], facez[order]
+    C = int(dims[0] * dims[1] * dims[2])
+    cell_start = np.searchsorted(cells, np.arange(C + 1)).astype(np.int32)
+    counts = np.diff(cell_start)
+    return FaceGrid3D(
+        origin=jnp.asarray(lo.astype(np.float32)),
+        cell_size=jnp.float32(cell_size),
+        dims=jnp.asarray(dims.astype(np.int32)),
+        cell_start=jnp.asarray(cell_start),
+        bucket_faces=jnp.asarray(facez.astype(np.int32)),
+        max_per_cell=int(counts.max()) if len(counts) else 1,
+        cell_size_static=float(cell_size),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "probe"))
+def raycast_grid(
+    mesh: MeshArrays,
+    g: FaceGrid3D,
+    origins: jax.Array,       # [N, 3]
+    directions: jax.Array,    # [N, 3] (need not be unit)
+    *,
+    n_steps: int = 16,
+    probe: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Nearest front hit per ray by Amanatides-Woo DDA over the face grid —
+    all rays step in lockstep (vectorized); each step tests the current
+    cell's bucket (`probe` candidates, default the grid's max bucket, so no
+    candidate is ever silently dropped). Coverage extends n_steps cells from
+    the origin — size n_steps from the caller's max interesting distance
+    (e.g. clearance max_dist / cell_size + 2). Returns (t, face_id, hit)
+    with t in units of |directions| (callers pass unit dirs for metric t)."""
+    if probe <= 0:
+        probe = max(1, g.max_per_cell)
+    N = origins.shape[0]
+    d = directions
+    nz = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    inv = 1.0 / nz
+    cell0 = jnp.floor((origins - g.origin) / g.cell_size).astype(jnp.int32)
+    step = jnp.where(d >= 0, 1, -1).astype(jnp.int32)
+    # parametric distance to the next cell boundary per axis
+    next_b = g.origin + (cell0 + (step > 0).astype(jnp.int32)) * g.cell_size
+    tmax0 = (next_b - origins) * inv                   # [N, 3]
+    tdelta = jnp.abs(g.cell_size * inv)
+    tris_all = mesh.vertices[mesh.faces]               # gathered per probe below
+    Z = g.bucket_faces.shape[0]
+
+    def test_cell(cell, best_t, best_f):
+        ok = jnp.all((cell >= 0) & (cell < g.dims[None, :]), axis=-1)   # [N]
+        cl = jnp.clip(cell, 0, g.dims - 1)
+        cid = (cl[:, 0] * g.dims[1] + cl[:, 1]) * g.dims[2] + cl[:, 2]
+        s = g.cell_start[cid]                          # [N]
+        e = g.cell_start[cid + 1]
+        idx = s[:, None] + jnp.arange(probe)[None, :]  # [N, P]
+        valid = ok[:, None] & (idx < e[:, None])
+        fc = g.bucket_faces[jnp.clip(idx, 0, max(Z - 1, 0))]
+        tri = tris_all[fc]                             # [N, P, 3, 3]
+        t, hit = geometry.ray_triangle_intersect(
+            origins[:, None, :], d[:, None, :], tri
+        )
+        t = jnp.where(hit & valid, t, INF)
+        tm = jnp.min(t, axis=1)
+        fm = jnp.take_along_axis(fc, jnp.argmin(t, axis=1)[:, None], axis=1)[:, 0]
+        better = tm < best_t
+        return jnp.where(better, tm, best_t), jnp.where(better, fm, best_f)
+
+    def body(carry, _):
+        cell, tmax, best_t, best_f = carry
+        best_t, best_f = test_cell(cell, best_t, best_f)
+        ax = jnp.argmin(tmax, axis=-1)                 # [N]
+        onehot = jax.nn.one_hot(ax, 3, dtype=jnp.int32)
+        cell = cell + onehot * step
+        tmax = tmax + onehot.astype(tmax.dtype) * tdelta
+        return (cell, tmax, best_t, best_f), None
+
+    init = (
+        cell0, tmax0,
+        jnp.full(N, INF), jnp.full(N, -1, jnp.int32),
+    )
+    (cell, tmax, t, f), _ = jax.lax.scan(body, init, None, length=n_steps)
+    hit = jnp.isfinite(t)
+    return t, jnp.where(hit, f, -1), hit
+
+
+def vertex_clearance_grid(
+    mesh: MeshArrays,
+    g: FaceGrid3D,
+    max_dist: float,
+    *,
+    offset: float = 1e-3,
+    chunk: int = 65536,
+) -> jax.Array:
+    """Free space along each vertex normal via the 3D grid — the scalable
+    replacement for `vertex_clearance` (lvr2::calcNormalClearance,
+    clearance_layer.cpp:161): O(V · probe · steps) instead of O(V · F), so
+    the clearance layer runs at 1M vertices (the configs[2]/[3] full layer
+    stack). Chunked so the [N, P, 3, 3] gather stays bounded."""
+    V = mesh.num_vertices
+    cs = g.cell_size_static
+    n_steps = int(np.ceil(max_dist / max(cs, 1e-6))) + 2
+    out = []
+    n_chunks = -(-V // chunk)
+    for i in range(n_chunks):
+        sl = slice(i * chunk, min((i + 1) * chunk, V))
+        o = mesh.vertices[sl] + mesh.vertex_normals[sl] * offset
+        t, _, hit = raycast_grid(
+            mesh, g, o, mesh.vertex_normals[sl], n_steps=n_steps
+        )
+        t = t + offset
+        out.append(jnp.where(hit & (t < max_dist), t, max_dist))
+    return jnp.concatenate(out).astype(jnp.float32)

@@ -38,19 +38,25 @@ import dataclasses
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("planes", "res_dst", "res_src", "res_w"),
+    data_fields=("planes", "res_dst", "res_src", "res_w", "slot_map", "res_slot"),
     meta_fields=("offsets", "coverage"),
 )
 @dataclasses.dataclass(frozen=True)
 class OffsetPlan:
     """Offset classification of a slot-weight table. `offsets` and
     `coverage` are static metadata (jit specializes on them — required since
-    shift amounts and kernel shapes derive from the offsets)."""
+    shift amounts and kernel shapes derive from the offsets).
+
+    Classification is STRUCTURAL (mesh adjacency only): lethal/inf weights
+    flow through as +inf plane entries, so a cost change only needs
+    `refresh_offset_planes` (on device), never a host rebuild."""
     offsets: tuple[int, ...]      # static offset classes
     planes: jax.Array             # [K, V] f32 per-class weights (inf = no edge)
     res_dst: jax.Array            # [R] i32 residual edge destinations
     res_src: jax.Array            # [R] i32 residual edge sources
     res_w: jax.Array              # [R] f32
+    slot_map: jax.Array           # [K, V] i32 adjacency slot per class (-1 = none)
+    res_slot: jax.Array           # [R] i32 adjacency slot per residual (-1 = pad)
     coverage: float               # fraction of edges in offset classes
 
 
@@ -60,33 +66,42 @@ def build_offset_plan(
     *,
     max_offsets: int = 12,
 ) -> OffsetPlan:
-    """Host-side offset classification of the slot-weight table."""
+    """Host-side offset classification of the slot-weight table.
+
+    The class selection and slot maps depend only on the adjacency structure
+    (adj_mask), NOT on the weight values: an edge that is lethal today may be
+    cleared tomorrow (obstacle removed), so every structural edge must stay
+    addressable by refresh_offset_planes."""
     adj = host_array(mesh, "adj_vertex")
+    mask = host_array(mesh, "adj_mask")
     W = np.asarray(weights_vd)
     V, D = adj.shape
     delta = adj - np.arange(V)[:, None]
-    usable = np.isfinite(W)
-    vals, cnts = np.unique(delta[usable], return_counts=True)
+    vals, cnts = np.unique(delta[mask], return_counts=True)
     order = np.argsort(-cnts)
     top = [int(v) for v in vals[order][:max_offsets] if v != 0]
-    covered = np.zeros_like(usable)
+    covered = np.zeros_like(mask)
     planes = np.full((len(top), V), np.inf, np.float32)
+    slot_map = np.full((len(top), V), -1, np.int32)
     for k, d in enumerate(top):
-        hit = (delta == d) & usable
+        hit = (delta == d) & mask
         rows, slots = np.nonzero(hit)
         planes[k, rows] = W[rows, slots]
+        slot_map[k, rows] = slots
         covered |= hit
-    residual = usable & ~covered
+    residual = mask & ~covered
     rows, slots = np.nonzero(residual)
-    coverage = 1.0 - len(rows) / max(usable.sum(), 1)
+    coverage = 1.0 - len(rows) / max(mask.sum(), 1)
     # pad residual to a multiple of 8 with self-loops at inf
     R = len(rows)
     Rp = max(8, -(-R // 8) * 8)
     res_dst = np.zeros(Rp, np.int32)
     res_src = np.zeros(Rp, np.int32)
+    res_slot = np.full(Rp, -1, np.int32)
     res_w = np.full(Rp, np.inf, np.float32)
     res_dst[:R] = rows
     res_src[:R] = adj[rows, slots]
+    res_slot[:R] = slots
     res_w[:R] = W[rows, slots]
     return OffsetPlan(
         offsets=tuple(top),
@@ -94,8 +109,30 @@ def build_offset_plan(
         res_dst=jnp.asarray(res_dst),
         res_src=jnp.asarray(res_src),
         res_w=jnp.asarray(res_w),
+        slot_map=jnp.asarray(slot_map),
+        res_slot=jnp.asarray(res_slot),
         coverage=float(coverage),
     )
+
+
+def refresh_offset_planes(plan: OffsetPlan, weights_vd: jax.Array) -> OffsetPlan:
+    """Re-derive the weight planes + residual weights from a new [V, D]
+    slot-weight table — on device, jittable (the live-replan path, same
+    contract as pallas_banded.refresh_banded_planes). The static
+    classification (offsets, slot maps, residual indices) is reused."""
+    W = weights_vd
+    # planes[k, v] = W[v, slot_map[k, v]] where a class edge exists, else inf
+    planes = jnp.where(
+        plan.slot_map >= 0,
+        jnp.take_along_axis(W, jnp.maximum(plan.slot_map, 0).T, axis=1).T,
+        INF,
+    ).astype(jnp.float32)
+    res_w = jnp.where(
+        plan.res_slot >= 0,
+        W[plan.res_dst, jnp.maximum(plan.res_slot, 0)],
+        INF,
+    ).astype(jnp.float32)
+    return dataclasses.replace(plan, planes=planes, res_w=res_w)
 
 
 class StructuredFieldResult(NamedTuple):

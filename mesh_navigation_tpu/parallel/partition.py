@@ -7,12 +7,14 @@ the real thing:
 
 1. vertices are spatially sorted (x-major) and cut into contiguous blocks
    (one per shard) so almost all edges are shard-internal;
-2. each shard precomputes its *export list* — the local vertices any other
-   shard's adjacency references (the halo ring, ~O(sqrt(V·n)) total);
+2. each shard precomputes its DIRECTED export lists — the local vertices the
+   left/right neighbor shard's adjacency references (the halo ring,
+   ~O(sqrt(V·n)) total);
 3. shard adjacency is remapped so non-local neighbours index into the
-   concatenation [local block | gathered exports];
-4. per sweep, only the exports travel: `all_gather` of [X, B] halo values
-   (ppermute-ring upgrade is a drop-in once shards outgrow a single gather).
+   concatenation [local block | ghosts-from-left | ghosts-from-right];
+4. per sweep, only the boundary rings travel, via two `jax.lax.ppermute`
+   neighbor shifts over ICI — O(ring) traffic instead of O(V) — with the
+   original all_gather path kept for meshes whose cut is not neighbor-only.
 
 The relaxation inside the shard is the same unrolled-slot pull update as
 ops/ordered.batched_field_hybrid; convergence is a global psum.
@@ -34,14 +36,24 @@ INF = jnp.inf
 
 
 class MeshPartition(NamedTuple):
-    """Host-built partition tables (all leading axes shard over 'mesh')."""
-    adj: jax.Array          # [n, Vl, D] i32 remapped: < Vl local, >= Vl ghost slot
+    """Host-built partition tables (all leading axes shard over 'mesh').
+
+    Ghost slot layout per shard: [0, Vl) local, [Vl, Vl+XR) ghosts received
+    from the LEFT neighbor (its exports_right), [Vl+XR, Vl+XR+XL) ghosts
+    from the RIGHT neighbor (its exports_left). `neighbor_only` records
+    whether every remote reference crosses exactly one cut (true for spatial
+    block cuts of planar meshes) — when False the solver falls back to the
+    all_gather halo with the legacy export_idx layout."""
+    adj: jax.Array          # [n, Vl, D] i32 remapped (see layout above)
     weights: jax.Array      # [n, Vl, D] f32 (inf = unusable/padded)
-    export_idx: jax.Array   # [n, X] i32 local indices each shard exports (pad 0)
+    export_idx: jax.Array   # [n, X] i32 all_gather-mode exports (pad 0)
+    exp_right: jax.Array    # [n, XR] i32 local idx exported to s+1 (pad 0)
+    exp_left: jax.Array     # [n, XL] i32 local idx exported to s-1 (pad 0)
     perm: jax.Array         # [V] i32 new-order -> original vertex id
     inv_perm: jax.Array     # [V] i32 original -> new order
     num_vertices: int
     block: int              # Vl
+    neighbor_only: bool
 
     @property
     def n_shards(self) -> int:
@@ -74,48 +86,87 @@ def build_partition(
 
     shard_of = np.arange(Vp) // Vl
 
-    # export sets: for each shard s, local vertices referenced by other shards
-    exports: list[np.ndarray] = []
+    # usable remote references per shard (structural refs with finite weight
+    # can cross; classify by owner distance)
+    neighbor_only = True
+    refs_by_pair: dict[tuple[int, int], np.ndarray] = {}
     for s in range(n_shards):
         rows = adj_new[s * Vl : (s + 1) * Vl]
         w_rows = w_new[s * Vl : (s + 1) * Vl]
-        ext = rows[(shard_of[rows] != s) & np.isfinite(w_rows)]
-        exports.append(ext)
-    # a vertex is exported by its OWNER shard if any other shard references it
-    referenced = np.unique(np.concatenate(exports)) if exports else np.zeros(0, np.int64)
-    per_owner: list[np.ndarray] = [
-        referenced[shard_of[referenced] == s] for s in range(n_shards)
-    ]
+        usable = np.isfinite(w_rows)
+        remote = (shard_of[rows] != s) & usable
+        ext = rows[remote]
+        owners = shard_of[ext]
+        if np.any(np.abs(owners - s) > 1):
+            neighbor_only = False
+        for o in np.unique(owners):
+            key = (int(o), s)   # owner exports to shard s
+            prev = refs_by_pair.get(key)
+            cur = np.unique(ext[owners == o])
+            refs_by_pair[key] = (
+                cur if prev is None else np.union1d(prev, cur)
+            )
+
+    # legacy all_gather exports: union of everything each owner exports
+    per_owner: list[np.ndarray] = []
+    for s in range(n_shards):
+        outs = [v for (o, _), v in refs_by_pair.items() if o == s]
+        per_owner.append(
+            np.unique(np.concatenate(outs)) if outs else np.zeros(0, np.int64)
+        )
     X = max(1, max((len(p) for p in per_owner), default=1))
     export_idx = np.zeros((n_shards, X), np.int32)
-    ghost_slot = np.full(Vp, -1, np.int64)  # global new-id -> slot in gathered halo
+    ghost_slot = np.full(Vp, -1, np.int64)
     for s, p in enumerate(per_owner):
         export_idx[s, : len(p)] = (p - s * Vl).astype(np.int32)
         ghost_slot[p] = s * X + np.arange(len(p))
 
-    # remap adjacency per shard: local -> [0, Vl); remote -> Vl + ghost_slot
+    # ring exports: per (owner -> owner+1) and (owner -> owner-1)
+    er = [refs_by_pair.get((s, s + 1), np.zeros(0, np.int64)) for s in range(n_shards)]
+    el = [refs_by_pair.get((s, s - 1), np.zeros(0, np.int64)) for s in range(n_shards)]
+    XR = max(1, max(len(p) for p in er))
+    XL = max(1, max(len(p) for p in el))
+    exp_right = np.zeros((n_shards, XR), np.int32)
+    exp_left = np.zeros((n_shards, XL), np.int32)
+    # ring ghost slot of global new-id, per RECEIVING shard
+    ring_slot = np.full((n_shards, Vp), -1, np.int64)
+    for s in range(n_shards):
+        exp_right[s, : len(er[s])] = (er[s] - s * Vl).astype(np.int32)
+        exp_left[s, : len(el[s])] = (el[s] - s * Vl).astype(np.int32)
+        if s + 1 < n_shards:
+            ring_slot[s + 1, er[s]] = Vl + np.arange(len(er[s]))
+        if s - 1 >= 0:
+            ring_slot[s - 1, el[s]] = Vl + XR + np.arange(len(el[s]))
+
+    # remap adjacency per shard
     adj_shard = np.zeros((n_shards, Vl, D), np.int32)
     w_shard = np.zeros((n_shards, Vl, D), np.float32)
     for s in range(n_shards):
         rows = adj_new[s * Vl : (s + 1) * Vl].copy()
         w_rows = w_new[s * Vl : (s + 1) * Vl].copy()
         local = shard_of[rows] == s
-        remote = ~local
-        usable_remote = remote & np.isfinite(w_rows)
+        usable_remote = ~local & np.isfinite(w_rows)
+        if neighbor_only:
+            slot = ring_slot[s, rows]
+        else:
+            slot = Vl + ghost_slot[rows]
         out = np.where(local, rows - s * Vl, 0)
-        out = np.where(usable_remote, Vl + ghost_slot[rows], out)
-        # unusable entries point at local 0 with inf weight
-        w_rows = np.where(remote & ~usable_remote, np.inf, w_rows)
+        ok = usable_remote & (slot >= 0)
+        out = np.where(ok, slot, out)
+        w_rows = np.where(~local & ~ok, np.inf, w_rows)
         adj_shard[s] = out
         w_shard[s] = w_rows
     return MeshPartition(
         adj=jnp.asarray(adj_shard),
         weights=jnp.asarray(w_shard),
         export_idx=jnp.asarray(export_idx),
+        exp_right=jnp.asarray(exp_right),
+        exp_left=jnp.asarray(exp_left),
         perm=jnp.asarray(order),
         inv_perm=jnp.asarray(inv),
         num_vertices=V,
         block=Vl,
+        neighbor_only=bool(neighbor_only),
     )
 
 
@@ -128,19 +179,23 @@ def partitioned_field_solve(
     block_sweeps: int = 8,
 ) -> jax.Array:
     """Batched SSSP over the partition: mesh axis = spatial shards with halo
-    exchange of export values only; batch axis = scenarios. Returns
-    dist [B, V] in ORIGINAL vertex order."""
+    exchange of boundary rings only (two ppermute neighbor shifts per sweep
+    when the cut is neighbor-only, else an all_gather of exports); batch
+    axis = scenarios. Returns dist [B, V] in ORIGINAL vertex order."""
     n, Vl, D = part.adj.shape
-    X = part.export_idx.shape[1]
     B = seeds.shape[0]
     if max_sweeps <= 0:
         max_sweeps = 4 * n * Vl
     n_blocks = -(-max_sweeps // block_sweeps)
+    ring = part.neighbor_only and n > 1
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
 
     seeds_new = part.inv_perm[seeds]                    # [B] renumbered ids
 
-    def local_solve(adj_loc3, w_loc3, exp_loc2, seeds_loc):
-        adj_loc, w_loc, exp_loc = adj_loc3[0], w_loc3[0], exp_loc2[0]
+    def local_solve(adj_loc3, w_loc3, exp_loc2, er_loc2, el_loc2, seeds_loc):
+        adj_loc, w_loc = adj_loc3[0], w_loc3[0]
+        exp_loc, er_idx, el_idx = exp_loc2[0], er_loc2[0], el_loc2[0]
         mesh_idx = jax.lax.axis_index("mesh")
         gidx = mesh_idx * Vl + jnp.arange(Vl, dtype=jnp.int32)
         b_loc = seeds_loc.shape[0]
@@ -152,9 +207,18 @@ def partitioned_field_solve(
         w_cols = [w_loc[:, j][:, None] for j in range(D)]
 
         def one_sweep(dist_loc):
-            exports = dist_loc[exp_loc]                  # [X, b_loc]
-            ghosts = jax.lax.all_gather(exports, "mesh", axis=0, tiled=True)
-            full = jnp.concatenate([dist_loc, ghosts])   # [Vl + n*X, b_loc]
+            if ring:
+                # boundary rings ride two neighbor shifts; shards without a
+                # left/right neighbor receive ppermute zeros, which are
+                # harmless because every slot referencing them carries inf
+                # weight (no such structural edge exists)
+                gl = jax.lax.ppermute(dist_loc[er_idx], "mesh", fwd)
+                gr = jax.lax.ppermute(dist_loc[el_idx], "mesh", bwd)
+                full = jnp.concatenate([dist_loc, gl, gr])
+            else:
+                exports = dist_loc[exp_loc]              # [X, b_loc]
+                ghosts = jax.lax.all_gather(exports, "mesh", axis=0, tiled=True)
+                full = jnp.concatenate([dist_loc, ghosts])
             best = dist_loc
             for j in range(D):
                 best = jnp.minimum(best, full[adj_cols[j]] + w_cols[j])
@@ -179,11 +243,14 @@ def partitioned_field_solve(
     solve = shard_map(
         local_solve,
         mesh=device_mesh,
-        in_specs=(P("mesh"), P("mesh"), P("mesh"), P("batch")),
+        in_specs=(P("mesh"), P("mesh"), P("mesh"), P("mesh"), P("mesh"), P("batch")),
         out_specs=P("mesh", None, "batch"),
         check_vma=False,
     )
-    dist_new = solve(part.adj, part.weights, part.export_idx, seeds_new)
+    dist_new = solve(
+        part.adj, part.weights, part.export_idx, part.exp_right,
+        part.exp_left, seeds_new,
+    )
     dist_new = dist_new.reshape(n * Vl, B).T             # [B, Vp] new order
     # back to original vertex order
     return dist_new[:, part.inv_perm]

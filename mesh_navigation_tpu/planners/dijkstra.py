@@ -167,7 +167,10 @@ class DijkstraPlanner:
             return None
         return plan if plan.coverage >= min_coverage else None
 
-    @functools.partial(jax.jit, static_argnums=0, static_argnames=("light", "dtype"))
+    @functools.partial(
+        jax.jit, static_argnums=0,
+        static_argnames=("light", "dtype", "scan_steps", "atol", "rtol"),
+    )
     def plan_batch_banded(
         self,
         weights_vd: jax.Array,
@@ -177,18 +180,22 @@ class DijkstraPlanner:
         *,
         light: bool = False,
         dtype=jnp.float32,
+        scan_steps: int = 0,
+        atol: float = 1e-5,
+        rtol: float = 1e-5,
     ) -> PlanResult:
         """Batch planning via banded GS fast sweeping (ops/pallas_banded.py)
         — the fastest path on band-structured meshes: O(path winding) rounds
         instead of O(diameter) sweeps.
 
-        light=True never materializes the [B, V] pred map or [B, V, 3]
-        vector fields (1 + 3 GB at 1M x 256 — vector_map/pred are None in
-        the result): paths come from greedy descent over the padded field
-        (ops.pallas_banded.descend_paths) and the controller samples
-        directions on the fly via compute_velocity_banded. Full pred
-        recovery was costing more than the entire 3-round field solve
-        (175 ms vs 183 ms at 1M x 256).
+        light=True skips the [B, V, 3] vector field (3 GB at 1M x 256 —
+        vector_map is None in the result) and the roll-based pred recovery:
+        predecessors come from the single-pass Pallas recovery
+        (predecessors_banded_pallas, one field read + one int32 write,
+        ~20x cheaper than the roll path) feeding extract_paths_vb, and the
+        controller samples directions on the fly via
+        compute_velocity_banded (the result's pred is None; the [V, B]
+        table lives only inside this call).
         dtype=jnp.bfloat16 opts into the approximate half-bandwidth solve."""
         from mesh_navigation_tpu.ops import pallas_banded as _pb
 
@@ -199,7 +206,8 @@ class DijkstraPlanner:
         if not light:
             field = _pb.batched_field_banded_pallas(
                 mesh, weights_vd, kernel_plan, goal_v,
-                max_rounds=max_rounds, dtype=dtype,
+                max_rounds=max_rounds, dtype=dtype, scan_steps=scan_steps,
+                atol=atol, rtol=rtol,
             )
             return jax.vmap(self._finish_batch)(
                 field.dist, field.pred, start_v, goal_v
@@ -217,22 +225,18 @@ class DijkstraPlanner:
         start_s = start_v[order]
 
         res = _pb.banded_solve_padded(
-            kernel_plan, goal_s, max_rounds=max_rounds, dtype=dtype
+            kernel_plan, goal_s, max_rounds=max_rounds, dtype=dtype,
+            scan_steps=scan_steps, atol=atol, rtol=rtol,
         )
         R, C = kernel_plan.n_rows, kernel_plan.n_cols
         V = kernel_plan.num_vertices
         potential = (
             res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32).T
         )                                                       # [B, V] sorted
-        tol = 1e-2 if dtype == jnp.bfloat16 else 1e-5
-        if kernel_plan.n_residual == 0:
-            pred_vb = _pb.predecessors_banded_pallas(
-                kernel_plan, res.d_pad, tol=tol
-            )[:, :B]
-        else:
-            pred_vb = _pb.predecessors_banded(
-                kernel_plan, potential.T, tol=tol
-            )
+        tol = 1e-2 if dtype == jnp.bfloat16 else max(1e-5, 3.0 * rtol)
+        pred_vb = _pb.predecessors_banded_pallas(
+            kernel_plan, res.d_pad, tol=tol
+        )[:, :B]
         path, valid = _pb.extract_paths_vb(
             pred_vb, start_s, goal_s, self.max_path_len
         )                                                       # [B, L] sorted

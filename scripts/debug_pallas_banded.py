@@ -53,31 +53,33 @@ print(
 
 rng = np.random.default_rng(0)
 seeds = jnp.asarray(rng.integers(0, mesh.num_vertices, size=B), jnp.int32)
-d0, down, up, a_f, a_b, rb, bb = pb.prepare_padded(plan, seeds)
+d0, down, up, a_f, a_b, rb, bb, xdown, xup = pb.prepare_padded(plan, seeds)
+import jax.numpy as _jnp
+dirty0 = _jnp.zeros((1, 1), _jnp.int32)
 print(f"blocks rb={rb} bb={bb}", flush=True)
 interpret = not pb.pallas_available()
 
 # single pass, timed (includes compile on first call)
 print("compiling down pass...", flush=True)
-d1, chg = t(
+d1, chg, _dy = t(
     "down pass (compile+run)",
     pb._directional_pass_pallas,
-    d0, down, a_f, a_b,
+    d0, down, a_f, a_b, xdown, dirty0,
     reverse=False, rb=rb, bb=bb, n_scan=plan.n_scan, atol=1e-5, rtol=1e-5,
     interpret=interpret,
 )
 print(f"  changed={bool(chg)}", flush=True)
-d2, chg = t(
+d2, chg, _dy = t(
     "down pass (warm)",
     pb._directional_pass_pallas,
-    d1, down, a_f, a_b,
+    d1, down, a_f, a_b, xdown, dirty0,
     reverse=False, rb=rb, bb=bb, n_scan=plan.n_scan, atol=1e-5, rtol=1e-5,
     interpret=interpret,
 )
-d3, chg = t(
+d3, chg, _dy = t(
     "up pass (compile+run)",
     pb._directional_pass_pallas,
-    d2, up, a_f, a_b,
+    d2, up, a_f, a_b, xup, dirty0,
     reverse=True, rb=rb, bb=bb, n_scan=plan.n_scan, atol=1e-5, rtol=1e-5,
     interpret=interpret,
 )

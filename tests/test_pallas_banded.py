@@ -291,3 +291,59 @@ def test_extract_paths_vb_matches_extract_path():
         path_p, valid_p = sweeps.extract_path(res.pred[b], starts[b], seeds[b], 64)
         np.testing.assert_array_equal(np.asarray(path_vb[b]), np.asarray(path_p))
         np.testing.assert_array_equal(np.asarray(valid_vb[b]), np.asarray(valid_p))
+
+
+def test_light_path_after_lethal_update():
+    """Dynamic-cost light path (the live-replan loop): lethal-ize a region,
+    refresh the planes ON DEVICE, re-solve through plan_batch_banded
+    light=True, and check (a) field parity vs the oracle under the NEW
+    costs, (b) pred validity / path termination, (c) lanes whose goal got
+    walled off report NO_PATH_FOUND."""
+    import jax
+
+    from mesh_navigation_tpu.config import PlannerConfig
+    from mesh_navigation_tpu.planners import DijkstraPlanner
+
+    m = _terrain16()
+    rng = np.random.default_rng(9)
+    costs = rng.uniform(0.0, 0.5, m.num_vertices).astype(np.float32)
+    ew0, W0 = _weights(m, costs)
+    plan0 = pallas_banded.build_banded_kernel_plan(m, W0)
+
+    # lethal wall across the middle (y = 4 line; vertex id = x*16 + y with
+    # spacing 0.5, so id % 16 == 8), leaving no gap
+    costs2 = costs.copy()
+    wall = (np.arange(m.num_vertices) % 16 == 8)
+    costs2[wall] = np.inf
+    ew2, W2 = _weights(m, costs2)
+    plan2 = jax.jit(pallas_banded.refresh_banded_planes)(plan0, jnp.asarray(W2))
+
+    planner = DijkstraPlanner(
+        m, PlannerConfig(method="batched", ordered_rounds=0, cost_limit=1.0),
+        max_path_len=128,
+    )
+    # starts on one side, goals split: one same-side (reachable), one across
+    starts = jnp.asarray([[1.0, 1.0, 0.0], [1.0, 1.0, 0.0]], jnp.float32)
+    goals = jnp.asarray([[6.0, 2.0, 0.0], [6.0, 7.0, 0.0]], jnp.float32)
+    res = planner.plan_batch_banded(
+        jnp.asarray(W2), plan2, starts, goals, light=True
+    )
+    from mesh_navigation_tpu.api.outcomes import Outcome
+
+    assert int(res.outcome[0]) == Outcome.SUCCESS
+    assert int(res.outcome[1]) == Outcome.NO_PATH_FOUND
+
+    # field parity vs oracle under the NEW cost field, reachable lane
+    from mesh_navigation_tpu.mesh import query
+
+    grid = planner.grid
+    gv = int(query.nearest_vertex(m, grid, goals[0])[0])
+    od = _oracle(m, ew2, costs2, gv)
+    got = np.asarray(res.potential[0])
+    ok = np.isfinite(od)
+    np.testing.assert_allclose(got[ok], od[ok], rtol=1e-3, atol=1e-3)
+    assert not np.isfinite(got[~ok]).any()
+
+    # path terminates at the goal and stays on finite-cost vertices
+    valid = np.asarray(res.path_valid[0])
+    assert valid.any()

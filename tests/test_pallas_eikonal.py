@@ -1,0 +1,173 @@
+"""Banded fast-sweeping eikonal kernel (ops/pallas_eikonal.py) vs the
+gather-based fixed-point solver (ops/eikonal.py) — same CVP unfolding fixed
+point, plus the lazy path descent and the CVP planner scale path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mesh_navigation_tpu.mesh import build_mesh, synthetic
+from mesh_navigation_tpu.ops import eikonal, pallas_eikonal as pe, sweeps
+
+
+def _terrain(n=10, seed=3):
+    v, f = synthetic.terrain_mesh(n, n, spacing=0.5, hills=1.5,
+                                  roughness=0.02, seed=seed)
+    return build_mesh(v, f)
+
+
+def _field_ref(m, side, seed_v, seed_val, target_mask=None):
+    sd = jnp.full(m.num_vertices, jnp.inf).at[jnp.asarray(seed_v)].set(
+        jnp.asarray(seed_val)
+    )
+    return eikonal.eikonal_field(
+        m, jnp.asarray(side), sd, update="unfolding", target_mask=target_mask
+    )
+
+
+def test_unfolding_value_matches_candidates():
+    rng = np.random.default_rng(0)
+    N = 256
+    a = rng.uniform(0.5, 2.0, N).astype(np.float32)
+    b = rng.uniform(0.5, 2.0, N).astype(np.float32)
+    # triangle inequality-ish c
+    c = np.clip(rng.uniform(0.5, 2.0, N), np.abs(a - b) + 0.05, a + b - 0.05).astype(np.float32)
+    u1 = rng.uniform(0.0, 3.0, N).astype(np.float32)
+    u2 = rng.uniform(0.0, 3.0, N).astype(np.float32)
+    ref = eikonal.unfolding_candidates(
+        jnp.asarray(u1), jnp.asarray(u2), jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    )
+    got = pe.unfolding_value(
+        jnp.asarray(u1), jnp.asarray(u2), jnp.asarray(a), jnp.asarray(b),
+        jnp.asarray(c), jnp.ones(N, bool),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref.value),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grid_eikonal_parity():
+    m = _terrain()
+    side = np.asarray(m.edge_dist)
+    plan = pe.build_eikonal_kernel_plan(m, side)
+    assert plan.coverage == 1.0
+    seed_v = jnp.asarray([[5, 5, 5], [44, 45, 46]], jnp.int32)
+    seed_d = jnp.asarray([[0.0, np.inf, np.inf], [0.1, 0.2, 0.15]], jnp.float32)
+    dist, rounds, conv = pe.eikonal_field_banded(m, plan, seed_v, seed_d)
+    assert bool(conv)
+    for b in range(2):
+        sv = np.asarray(seed_v[b])
+        sd = np.asarray(seed_d[b])
+        keep = np.isfinite(sd)
+        ref = _field_ref(m, side, sv[keep], sd[keep])
+        got = np.asarray(dist[b])
+        rd = np.asarray(ref.dist)
+        ok = np.isfinite(rd)
+        np.testing.assert_allclose(got[ok], rd[ok], rtol=1e-4, atol=1e-4)
+        assert not np.isfinite(got[~ok]).any()
+
+
+def test_weighted_side_lengths_parity():
+    """CVP semantics: cost-weighted edge weights as the metric."""
+    m = _terrain(10, seed=7)
+    rng = np.random.default_rng(1)
+    costs = rng.uniform(0.0, 0.6, m.num_vertices).astype(np.float32)
+    side = np.asarray(sweeps.compute_edge_weights(m, jnp.asarray(costs), 1.0))
+    plan = pe.build_eikonal_kernel_plan(m, side)
+    seed_v = jnp.asarray([[40, 40, 40]], jnp.int32)
+    seed_d = jnp.asarray([[0.0, np.inf, np.inf]], jnp.float32)
+    dist, _, conv = pe.eikonal_field_banded(m, plan, seed_v, seed_d)
+    assert bool(conv)
+    ref = _field_ref(m, side, [40], [0.0])
+    rd = np.asarray(ref.dist)
+    ok = np.isfinite(rd)
+    np.testing.assert_allclose(np.asarray(dist[0])[ok], rd[ok],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_target_mask_parity():
+    m = _terrain(10, seed=5)
+    rng = np.random.default_rng(2)
+    costs = rng.uniform(0.0, 1.4, m.num_vertices).astype(np.float32)
+    side = np.asarray(m.edge_dist)
+    tm = costs < 1.0
+    plan = pe.apply_target_mask(pe.build_eikonal_kernel_plan(m, side), tm)
+    seed_v = jnp.asarray([[7, 7, 7]], jnp.int32)
+    seed_d = jnp.asarray([[0.0, np.inf, np.inf]], jnp.float32)
+    dist, _, conv = pe.eikonal_field_banded(m, plan, seed_v, seed_d)
+    ref = _field_ref(m, side, [7], [0.0], target_mask=jnp.asarray(tm))
+    rd = np.asarray(ref.dist)
+    got = np.asarray(dist[0])
+    ok = np.isfinite(rd)
+    np.testing.assert_allclose(got[ok], rd[ok], rtol=1e-4, atol=1e-4)
+    assert not np.isfinite(got[~ok]).any()
+
+
+def test_cvp_planner_banded_matches_batch():
+    from mesh_navigation_tpu.config import PlannerConfig
+    from mesh_navigation_tpu.planners import CVPPlanner
+
+    m = _terrain(12, seed=4)
+    rng = np.random.default_rng(3)
+    costs = rng.uniform(0.0, 0.4, m.num_vertices).astype(np.float32)
+    planner = CVPPlanner(
+        m, PlannerConfig(cost_limit=2.0, max_sweeps=4096), max_path_len=96
+    )
+    ew = planner.prepare_weights(jnp.asarray(costs), 1.0)
+    kplan = planner.prepare_eikonal_plan(np.asarray(ew), costs)
+    assert kplan is not None
+
+    def on_surface(xy):
+        # drop the pose onto the terrain (containing_face rejects poses
+        # farther than max_dist=0.4 from the surface)
+        from mesh_navigation_tpu.mesh.arrays import host_array
+
+        vp = host_array(m, "vertices")
+        i = np.argmin((vp[:, 0] - xy[0]) ** 2 + (vp[:, 1] - xy[1]) ** 2)
+        return [xy[0], xy[1], float(vp[i, 2])]
+
+    starts = jnp.asarray(
+        [on_surface([1.0, 1.0]), on_surface([5.5, 1.0])], jnp.float32
+    )
+    goals = jnp.asarray(
+        [on_surface([5.5, 5.5]), on_surface([1.0, 5.0])], jnp.float32
+    )
+    res_fast = planner.plan_batch_banded(ew, kplan, starts, goals)
+    res_ref = planner.plan_batch(ew, jnp.asarray(costs), starts, goals)
+    assert np.asarray(res_fast.outcome).tolist() == [0, 0]
+    # potentials agree (the geodesic cost field, the parity contract)
+    pot_f = np.asarray(res_fast.potential)
+    pot_r = np.asarray(res_ref.potential)
+    ok = np.isfinite(pot_r)
+    np.testing.assert_allclose(pot_f[ok], pot_r[ok], rtol=1e-3, atol=1e-3)
+    # path cost (= potential at start) within 1% of the reference batch cost
+    # (res_ref cost is the euclidean pose-chain length; compare potentials at
+    # the snapped start vertices instead)
+    from mesh_navigation_tpu.mesh import query
+
+    for b in range(2):
+        sv = int(query.nearest_vertex(m, planner.grid, starts[b])[0])
+        assert abs(pot_f[b, sv] - pot_r[b, sv]) <= 1e-3 + 1e-3 * pot_r[b, sv]
+    # descent paths end on a goal-face seed vertex
+    path = np.asarray(res_fast.path_positions)
+    valid = np.asarray(res_fast.path_valid)
+    assert valid[:, 0].all()
+
+
+def test_irregular_mesh_eikonal():
+    from mesh_navigation_tpu.mesh import reorder
+
+    v, f = synthetic.irregular_terrain_mesh(
+        12, 12, spacing=0.5, jitter=0.4, hills=1.0, seed=6
+    )
+    m = reorder.build_reordered_mesh(v, f)
+    side = np.asarray(m.edge_dist)
+    plan = pe.build_eikonal_kernel_plan(m, side)
+    assert plan.n_residual > 0
+    seed_v = jnp.asarray([[9, 9, 9]], jnp.int32)
+    seed_d = jnp.asarray([[0.0, np.inf, np.inf]], jnp.float32)
+    dist, rounds, conv = pe.eikonal_field_banded(m, plan, seed_v, seed_d)
+    assert bool(conv)
+    ref = _field_ref(m, side, [9], [0.0])
+    rd = np.asarray(ref.dist)
+    ok = np.isfinite(rd)
+    np.testing.assert_allclose(np.asarray(dist[0])[ok], rd[ok],
+                               rtol=1e-3, atol=1e-3)
