@@ -292,7 +292,8 @@ def main():
             W_new = sweeps.slot_weights(mesh, ew, new_costs, 2.0)
             kp_new = pb.refresh_banded_planes(kp_in, W_new)
             res = pb.banded_solve_padded(
-                kp_new, seeds, dtype=dtype, scan_steps=scan_steps
+                kp_new, seeds, dtype=dtype, scan_steps=scan_steps,
+                atol=1e-4, rtol=1e-3,
             )
             return res.d_pad, res.rounds
 
