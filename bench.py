@@ -226,8 +226,18 @@ def main():
     )
 
     args = sample_scenarios(rng, mesh_n, batch)
-    out = pipe["solve"](pipe["W"], pipe["kplan"], *args)
-    jax.block_until_ready(out)
+    # one retry: the remote-compile transport occasionally drops a response
+    # mid-body; losing the whole bench to that blip is worse than 10 more
+    # minutes of compile
+    for attempt in (1, 2):
+        try:
+            out = pipe["solve"](pipe["W"], pipe["kplan"], *args)
+            jax.block_until_ready(out)
+            break
+        except Exception as e:
+            log(f"# [grid] warmup attempt {attempt} failed: {e!r}")
+            if attempt == 2:
+                raise
     log(f"# compiled+warm in {time.time()-t0:.1f}s")
 
     # oracle parity on the warmup batch

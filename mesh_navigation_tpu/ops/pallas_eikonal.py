@@ -282,7 +282,7 @@ def _eik_pass_kernel(
     below_ref,    # [1, Cp, bb] row after the block (stale side)
     abc_ref,      # [rb, 3K, Cp]
     dirty_in_ref,  # [n_j, Rp] SMEM (whole table)
-    out_ref, chg_ref, dirty_out_ref, prev_ref,
+    out_ref, chg_ref, dirty_out_ref, prev_ref, pimp_ref,
 ):
     j = pl.program_id(0)
     i = pl.program_id(1)
@@ -297,9 +297,15 @@ def _eik_pass_kernel(
     @pl.when(i == 0)
     def _():
         prev_ref[:] = jnp.full(prev_ref.shape, INF, prev_ref.dtype)
+        pimp_ref[0, 0] = jnp.int32(0)
 
     prev = prev_ref[:]                             # fresh carried row
-    prev_imp = jnp.bool_(False)                    # did prev row improve (this pass)
+    # did the carried row improve THIS pass — carried across row-block
+    # boundaries in SMEM scratch (a per-invocation False here stalls the
+    # wavefront one pass per block boundary: 64 boundaries at 512^2 meant
+    # max_rounds exhaustion with ~55% coverage, while 1-block test meshes
+    # hid the bug entirely)
+    prev_imp = pimp_ref[0, 0] > 0
     rows = range(rb - 1, -1, -1) if reverse else range(rb)
     for r in rows:
         cur = dist_ref[r].astype(jnp.float32)      # [Cp, bb]
@@ -368,6 +374,7 @@ def _eik_pass_kernel(
         prev_imp = jnp.any(prev < cur)
 
     prev_ref[:] = prev
+    pimp_ref[0, 0] = prev_imp.astype(jnp.int32)
 
 
 def _pick_blocks_eik(Cp: int, K: int, *, vmem_total: int = 14 << 20):
@@ -444,7 +451,10 @@ def _eik_directional_pass(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_j, Rp), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((Cp, bb), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((Cp, bb), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ],
         input_output_aliases={0: 0},
         interpret=interpret,
     )(d, d, abc, dirty)
