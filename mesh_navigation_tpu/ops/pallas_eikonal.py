@@ -276,19 +276,34 @@ def build_eikonal_kernel_plan(
 
 
 def _eik_pass_kernel(
-    rb: int, classes: tuple, reverse: bool, atol: float, rtol: float,
-    force: bool,
+    rb: int, classes: tuple, reverse: bool, chunk_dir: int, cw: int,
+    n_inner: int, atol: float, rtol: float, force: bool,
     dist_ref,     # [rb, Cp, bb]
     below_ref,    # [1, Cp, bb] row after the block (stale side)
-    abc_ref,      # [rb, 3K, Cp]
+    abc_ref,      # [rb, Cp, 3K] (chunk-major, see abc_s below)
     dirty_in_ref,  # [n_j, Rp] SMEM (whole table)
     out_ref, chg_ref, dirty_out_ref, prev_ref, pimp_ref,
+    rowbuf_ref, upbuf_ref, dnbuf_ref,   # [Cp + 2, bb] halo-padded scratch
 ):
+    """One directional pass with IN-ROW chunked Gauss-Seidel.
+
+    The eikonal triangle update is not associative, so there is no min-plus
+    scan to reach the in-row fixed point in one shot (the trick the Dijkstra
+    kernel uses). A row-ordered pass with a stale own-row therefore moves a
+    wavefront only ~1 column per pass in the diagonal quadrants — measured
+    rounds ~ n/2. True fast sweeping needs Gauss-Seidel freshness in BOTH
+    grid dimensions: each row is processed in `cw`-column chunks, sequential
+    in `chunk_dir`, each chunk reading the just-updated row state (and
+    re-applying the update `n_inner` times for within-chunk freshness).
+    The (row direction x chunk direction) grid gives the four FSM sweep
+    orderings; rounds drop to O(winding + cw)."""
     j = pl.program_id(0)
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
     row_base = ((n_i - 1 - i) if reverse else i) * rb
     Rp_total = n_i * rb
+    Cp = dist_ref.shape[1]
+    n_ch = Cp // cw
 
     @pl.when((j == 0) & (i == 0))
     def _():
@@ -300,12 +315,11 @@ def _eik_pass_kernel(
         pimp_ref[0, 0] = jnp.int32(0)
 
     prev = prev_ref[:]                             # fresh carried row
-    # did the carried row improve THIS pass — carried across row-block
-    # boundaries in SMEM scratch (a per-invocation False here stalls the
-    # wavefront one pass per block boundary: 64 boundaries at 512^2 meant
-    # max_rounds exhaustion with ~55% coverage, while 1-block test meshes
-    # hid the bug entirely)
+    # carried-row-improved flag rides SMEM scratch across row-block
+    # boundaries (a per-invocation False stalls the wavefront one pass per
+    # boundary — measured max_rounds exhaustion at 512^2)
     prev_imp = pimp_ref[0, 0] > 0
+    inf_col = jnp.full((1, dist_ref.shape[2]), INF, jnp.float32)
     rows = range(rb - 1, -1, -1) if reverse else range(rb)
     for r in rows:
         cur = dist_ref[r].astype(jnp.float32)      # [Cp, bb]
@@ -320,12 +334,8 @@ def _eik_pass_kernel(
         dn_row = nxt_stale if not reverse else prev
 
         rg = row_base + r
-        # dirty_in is PURE last-state (no aliasing): a row must recompute
-        # when any of its source rows improved in a previous pass of this
-        # round (or the previous round) — reading a neighbor's flag after
-        # that neighbor was processed this pass must still see the OLD flag,
-        # otherwise "improved last pass, quiet this pass" neighbors become
-        # invisible and propagation stalls (got > ref, measured).
+        # dirty_in is PURE last-pass state (no aliasing): neighbors' flags
+        # must stay readable after they are processed this pass
         need = (
             prev_imp
             | (dirty_in_ref[j, rg] > 0)
@@ -337,30 +347,53 @@ def _eik_pass_kernel(
                 dn_row < jnp.inf
             )
 
-        # the result of this row (must be written every row; carry follows)
         @pl.when(need)
         def _():
-            new = cur
-            for k, (dr1, dc1, dr2, dc2) in enumerate(classes):
-                def src(dr):
-                    return up_row if dr == -1 else (cur if dr == 0 else dn_row)
+            # stage the three rows into halo-padded scratch (1 inf column
+            # on each side so chunk slabs never index out of range)
+            rowbuf_ref[0:1] = inf_col
+            rowbuf_ref[Cp + 1 : Cp + 2] = inf_col
+            rowbuf_ref[1 : Cp + 1] = cur
+            upbuf_ref[0:1] = inf_col
+            upbuf_ref[Cp + 1 : Cp + 2] = inf_col
+            upbuf_ref[1 : Cp + 1] = up_row
+            dnbuf_ref[0:1] = inf_col
+            dnbuf_ref[Cp + 1 : Cp + 2] = inf_col
+            dnbuf_ref[1 : Cp + 1] = dn_row
 
-                def sh(x, dc):
-                    # source at column c+dc: _shift_down(x, k)[c] = x[c-k]
-                    if dc == 0:
-                        return x
-                    return _shift_up(x, dc) if dc > 0 else _shift_down(x, -dc)
+            def chunk_body(t, _):
+                w = (t if chunk_dir > 0 else n_ch - 1 - t) * cw
+                up_s = upbuf_ref[pl.ds(w, cw + 2)]       # [cw+2, bb]
+                dn_s = dnbuf_ref[pl.ds(w, cw + 2)]
+                # planes arrive chunk-major ([rb, Cp, 3K]) because Mosaic
+                # only supports dynamic slicing on the sublane dimension
+                abc_s = abc_ref[r, pl.ds(w, cw), :]      # [cw, 3K]
+                for _i in range(n_inner):
+                    row_s = rowbuf_ref[pl.ds(w, cw + 2)]
 
-                u1 = sh(src(dr1), dc1)
-                u2 = sh(src(dr2), dc2)
-                av = abc_ref[r, 3 * k + 0, :][:, None]
-                bv = abc_ref[r, 3 * k + 1, :][:, None]
-                cv = abc_ref[r, 3 * k + 2, :][:, None]
-                valid = cv < jnp.inf
-                cand = unfolding_value(u1, u2, av, bv, cv, valid)
-                new = jnp.minimum(new, cand)
-            imp = jnp.any(new * (1.0 + rtol) + atol < cur)
-            out_ref[r] = jnp.where(imp, new, cur).astype(out_ref.dtype)
+                    def srcs(dr):
+                        return (
+                            up_s if dr == -1 else (row_s if dr == 0 else dn_s)
+                        )
+
+                    new = row_s[1 : cw + 1]
+                    for k, (dr1, dc1, dr2, dc2) in enumerate(classes):
+                        # slab col offsets: dest cols are slab[1..cw];
+                        # dc -1/0/+1 -> slab[0..], slab[1..], slab[2..]
+                        u1 = srcs(dr1)[1 + dc1 : 1 + dc1 + cw]
+                        u2 = srcs(dr2)[1 + dc2 : 1 + dc2 + cw]
+                        av = abc_s[:, 3 * k + 0][:, None]
+                        bv = abc_s[:, 3 * k + 1][:, None]
+                        cv = abc_s[:, 3 * k + 2][:, None]
+                        cand = unfolding_value(u1, u2, av, bv, cv, cv < jnp.inf)
+                        new = jnp.minimum(new, cand)
+                    rowbuf_ref[pl.ds(w + 1, cw)] = new
+                return 0
+
+            jax.lax.fori_loop(0, n_ch, chunk_body, 0)
+            new_row = rowbuf_ref[1 : Cp + 1]
+            imp = jnp.any(new_row * (1.0 + rtol) + atol < cur)
+            out_ref[r] = jnp.where(imp, new_row, cur).astype(out_ref.dtype)
             dirty_out_ref[j, rg] = imp.astype(jnp.int32)
             chg_ref[0, 0] |= imp.astype(jnp.int32)
 
@@ -389,8 +422,8 @@ def _pick_blocks_eik(Cp: int, K: int, *, vmem_total: int = 14 << 20):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("classes", "reverse", "rb", "bb", "atol", "rtol",
-                     "interpret", "force"),
+    static_argnames=("classes", "reverse", "chunk_dir", "cw", "n_inner",
+                     "rb", "bb", "atol", "rtol", "interpret", "force"),
 )
 def _eik_directional_pass(
     d: jax.Array,          # [Rp, Cp, Bp]
@@ -399,6 +432,9 @@ def _eik_directional_pass(
     *,
     classes: tuple,
     reverse: bool,
+    chunk_dir: int = 1,
+    cw: int = 32,
+    n_inner: int = 4,
     rb: int,
     bb: int,
     atol: float,
@@ -407,7 +443,8 @@ def _eik_directional_pass(
     force: bool = False,
 ):
     Rp, Cp, Bp = d.shape
-    K3 = abc.shape[1]
+    abc = jnp.swapaxes(abc, 1, 2)      # [Rp, Cp, 3K] chunk-major
+    K3 = abc.shape[2]
     n_i = Rp // rb
     n_j = Bp // bb
 
@@ -432,13 +469,14 @@ def _eik_directional_pass(
 
     out, chg, dirty_out = pl.pallas_call(
         functools.partial(
-            _eik_pass_kernel, rb, classes, reverse, atol, rtol, force
+            _eik_pass_kernel, rb, classes, reverse, chunk_dir, cw, n_inner,
+            atol, rtol, force
         ),
         grid=(n_j, n_i),
         in_specs=[
             pl.BlockSpec((rb, Cp, bb), dmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cp, bb), belowmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, K3, Cp), pmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, Cp, K3), pmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_j, Rp), ymap, memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -454,8 +492,16 @@ def _eik_directional_pass(
         scratch_shapes=[
             pltpu.VMEM((Cp, bb), jnp.float32),
             pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.VMEM((Cp + 2, bb), jnp.float32),
+            pltpu.VMEM((Cp + 2, bb), jnp.float32),
+            pltpu.VMEM((Cp + 2, bb), jnp.float32),
         ],
-        input_output_aliases={0: 0},
+        # NOTE: d is read through TWO input refs (center rows + the stale
+        # boundary row of the next block); donating it to the output
+        # (input_output_aliases={0: 0}) let the TPU runtime alias the
+        # second read onto the being-overwritten buffer. Measured: the
+        # wavefront could then never cross certain boundaries (coverage
+        # froze at a diagonal). Keep the output unaliased.
         interpret=interpret,
     )(d, d, abc, dirty)
     return out, chg[0, 0] > 0, dirty_out
@@ -476,16 +522,20 @@ def eikonal_solve_padded(
     atol: float = 1e-5,
     rtol: float = 1e-5,
     interpret: bool | None = None,
+    cw: int = 32,
+    n_inner: int = 4,
 ) -> EikonalPaddedResult:
-    """Batched eikonal fields by 4-directional banded GS rounds.
+    """Batched eikonal fields by 4-ordering chunked-GS fast-sweeping rounds.
 
-    One round = down + up (row layout) + left + right (transposed layout)
-    + residual gather/scatter. Converged when nothing improves beyond
-    atol + rtol·|label| in a full round."""
+    One round = the four FSM sweep orderings (row direction x in-row chunk
+    direction, see _eik_pass_kernel) + residual gather/scatter. Converged
+    when nothing improves beyond atol + rtol·|label| in a full round.
+    `cw`/`n_inner` trade per-pass cost against round count (in-chunk
+    staleness is bounded by cw / n_inner)."""
     if interpret is None:
         interpret = not pallas_available()
     B, S = seed_v.shape
-    R, C, Cp, Rt = plan.n_rows, plan.n_cols, plan.n_cols_pad, plan.n_rows_pad_t
+    R, C, Cp = plan.n_rows, plan.n_cols, plan.n_cols_pad
     K = len(plan.classes)
 
     if interpret:
@@ -493,12 +543,10 @@ def eikonal_solve_padded(
         # cost, the bb lane pad an execution cost; neither constraint is
         # Mosaic-real on CPU
         rb, bb = 2, 8
-        rb_t, bb_t = 2, 8
+        cw = min(cw, 4)
     else:
         rb, bb = _pick_blocks_eik(Cp, K)
-        rb_t, bb_t = _pick_blocks_eik(Rt, K)
     Rp = _round_up(R, max(rb, 8))
-    Ct = _round_up(C, max(rb_t, 8))     # transposed row count (cols)
     Bp = _round_up(B, bb)
 
     def pad_rows(p, rows):
@@ -508,14 +556,6 @@ def eikonal_solve_padded(
         )
 
     abc = pad_rows(plan.abc, Rp)                       # [Rp, 3K, Cp]
-    abc_t = pad_rows(plan.abc_t, Ct)                   # [Ct, 3K, Rt]
-    # the transposed field lane dim must cover Rp rows: Rt >= Rp required
-    Rt_eff = max(Rt, Rp)
-    if abc_t.shape[2] < Rt_eff:
-        abc_t = jnp.pad(
-            abc_t, ((0, 0), (0, 0), (0, Rt_eff - abc_t.shape[2])),
-            constant_values=INF,
-        )
 
     # seed the padded field
     rows = seed_v // C
@@ -529,58 +569,29 @@ def eikonal_solve_padded(
     d0 = d0.reshape(Rp, Cp, Bp)
 
     n_j = Bp // bb
-    n_j_t = Bp // bb_t
     res_rows = plan.res_v3 // Cp
-    res_cols = plan.res_v3 % Cp
     has_residual = plan.n_residual > 0
+    dirty0 = jnp.zeros((n_j, Rp), jnp.int32)
+    dirty0_t = jnp.zeros((1, 1), jnp.int32)   # retained carry slot (unused)
 
     def one_round(d, dirty, dirty_t, force=False):
-        # dirty = rows improved in the PREVIOUS round (read-only input);
-        # acc accumulates improvements across this round's passes so later
-        # passes also see earlier passes' work (monotone union)
+        # four FSM sweep orderings = (row direction) x (in-row chunk
+        # direction); each pass is Gauss-Seidel fresh in BOTH dimensions
+        # (see _eik_pass_kernel). dirty_t is retained in the carry for
+        # signature stability but unused (single orientation now).
         acc = jnp.zeros_like(dirty)
-        d, chg_dn, imp1 = _eik_directional_pass(
-            d, abc, jnp.maximum(dirty, acc), classes=plan.classes,
-            reverse=False, rb=rb, bb=bb,
-            atol=atol, rtol=rtol, interpret=interpret, force=force,
-        )
-        acc = jnp.maximum(acc, imp1)
-        d, chg_up, imp2 = _eik_directional_pass(
-            d, abc, jnp.maximum(dirty, acc), classes=plan.classes,
-            reverse=True, rb=rb, bb=bb,
-            atol=atol, rtol=rtol, interpret=interpret,
-        )
-        acc = jnp.maximum(acc, imp2)
-        # cross-orientation coupling: the dirty tables are per-orientation
-        # (rows vs columns), so a change made by the row passes must force
-        # the column passes to look everywhere, and vice versa — otherwise
-        # an improvement would be invisible to the other orientation's skip
-        # logic and propagation stalls
-        acc_t = jnp.zeros_like(dirty_t)
-        row_changed = (chg_dn | chg_up).astype(jnp.int32)
-        # transpose: [Rp, Cp, Bp] -> [Cp, Rp, Bp]; pad rows to Ct, lanes to Rt_eff
-        dt = jnp.swapaxes(d, 0, 1)
-        dt = jnp.pad(
-            dt, ((0, Ct - Cp), (0, Rt_eff - Rp), (0, 0)), constant_values=INF
-        ) if (Ct > Cp or Rt_eff > Rp) else dt
-        dt, chg_l, imp3 = _eik_directional_pass(
-            dt, abc_t, jnp.maximum(dirty_t, row_changed),
-            classes=plan.classes_t, reverse=False,
-            rb=rb_t, bb=bb_t, atol=atol, rtol=rtol, interpret=interpret,
-            force=force,
-        )
-        acc_t = jnp.maximum(acc_t, imp3)
-        dt, chg_r, imp4 = _eik_directional_pass(
-            dt, abc_t,
-            jnp.maximum(jnp.maximum(dirty_t, row_changed), acc_t),
-            classes=plan.classes_t, reverse=True,
-            rb=rb_t, bb=bb_t, atol=atol, rtol=rtol, interpret=interpret,
-        )
-        acc_t = jnp.maximum(acc_t, imp4)
-        d = jnp.swapaxes(dt[:Cp, :Rp, :], 0, 1)
-        dirty = jnp.maximum(acc, (chg_l | chg_r).astype(jnp.int32))
-        dirty_t = acc_t
-        changed = chg_dn | chg_up | chg_l | chg_r
+        chgs = []
+        for rev, cdir in ((False, 1), (True, -1), (False, -1), (True, 1)):
+            d, chg, imp = _eik_directional_pass(
+                d, abc, jnp.maximum(dirty, acc), classes=plan.classes,
+                reverse=rev, chunk_dir=cdir, cw=cw, n_inner=n_inner,
+                rb=rb, bb=bb, atol=atol, rtol=rtol, interpret=interpret,
+                force=force,
+            )
+            acc = jnp.maximum(acc, imp)
+            chgs.append(chg)
+        changed = chgs[0] | chgs[1] | chgs[2] | chgs[3]
+        dirty = acc
         if has_residual:
             flat_d = d.reshape(Rp * Cp, Bp)
             u1 = flat_d[plan.res_v1]
@@ -596,14 +607,9 @@ def eikonal_solve_padded(
             d = new.reshape(Rp, Cp, Bp)
             impj = imp.reshape(-1, n_j, bb).any(axis=2).astype(jnp.int32)
             dirty = dirty.at[:, res_rows].max(impj.T)
-            impjt = imp.reshape(-1, n_j_t, bb_t).any(axis=2).astype(jnp.int32)
-            dirty_t = dirty_t.at[:, res_cols].max(impjt.T)
         # seeds can only be lowered by fp noise (they are already at their
         # fixed point); re-clamp is deferred to the caller's final read
         return d, dirty, dirty_t, changed
-
-    dirty0 = jnp.zeros((n_j, Rp), jnp.int32)
-    dirty0_t = jnp.zeros((n_j_t, Ct), jnp.int32)
 
     def cond(carry):
         return carry[4] & (carry[3] < max_rounds)
