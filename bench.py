@@ -295,12 +295,14 @@ def main():
     if do_replan and stage_ok("replan"):
       try:
         def replan(costs, lethal_center, kp_in, seeds):
-            # lethal disc update (obstacle insert) entirely on device
+            # lethal disc update (obstacle insert) entirely on device;
+            # gather-free cost->plane refresh (the [V, D] weight-table path
+            # measured 157 ms of gathers at 1M)
             d2 = jnp.sum((mesh.vertices[:, :2] - lethal_center) ** 2, axis=1)
             new_costs = jnp.where(d2 < 4.0, jnp.inf, costs)
-            ew = sweeps.compute_edge_weights(mesh, new_costs, 1.0)
-            W_new = sweeps.slot_weights(mesh, ew, new_costs, 2.0)
-            kp_new = pb.refresh_banded_planes(kp_in, W_new)
+            kp_new = pb.refresh_banded_planes_from_costs(
+                kp_in, new_costs, edge_cost_factor=1.0, cost_limit=2.0
+            )
             res = pb.banded_solve_padded(
                 kp_new, seeds, dtype=dtype, scan_steps=scan_steps,
                 atol=1e-4, rtol=1e-3,

@@ -118,8 +118,12 @@ class MeshNavServer:
             from mesh_navigation_tpu.ops import structured as _structured
 
             if self.banded_plan is not None:
-                self.banded_plan = _pb.refresh_banded_planes(
-                    self.banded_plan, self.slot_weights
+                # gather-free: planes straight from the cost field (the
+                # weight-table path costs ~157 ms of gathers at 1M)
+                self.banded_plan = _pb.refresh_banded_planes_from_costs(
+                    self.banded_plan, self.vertex_costs,
+                    edge_cost_factor=factor,
+                    cost_limit=self.config.planner.cost_limit,
                 )
             if self.offset_plan is not None:
                 self.offset_plan = _structured.refresh_offset_planes(

@@ -57,7 +57,8 @@ def _round_up(x: int, m: int) -> int:
     data_fields=(
         "down", "up", "a_fwd", "a_bwd", "res_dst", "res_src", "res_w",
         "slot_map", "res_slot", "xdown", "xup", "xslot_down", "xslot_up",
-        "lat_fwd", "lat_bwd",
+        "lat_fwd", "lat_bwd", "dist_lat_fwd", "dist_lat_bwd", "dist_down",
+        "dist_up", "xdist_down", "xdist_up", "res_dist",
     ),
     meta_fields=(
         "n_rows", "n_cols", "n_cols_pad", "n_scan", "coverage", "num_vertices",
@@ -119,6 +120,18 @@ class BandedKernelPlan:
     # columns/pass (measured: 39 -> ~6 rounds at 262k jittered-Delaunay).
     lat_fwd: jax.Array = None  # [R, Cp] w((r, c-1) -> (r, c)) direct only
     lat_bwd: jax.Array = None  # [R, Cp] w((r, c+1) -> (r, c))
+    # STATIC per-class Euclidean DISTANCE planes (geometry only; invalid
+    # endpoints baked in as inf). They make the live-replan refresh
+    # gather-free: a cost change reduces to dense 2D shifts of the cost
+    # field (refresh_banded_planes_from_costs) — no [V, D] weight table on
+    # the hot path (measured 157 ms of gathers at 1M).
+    dist_lat_fwd: jax.Array = None   # [R, Cp]
+    dist_lat_bwd: jax.Array = None
+    dist_down: jax.Array = None      # [R, 3, Cp]
+    dist_up: jax.Array = None
+    xdist_down: jax.Array = None     # [R, Lxd, Cp]
+    xdist_up: jax.Array = None
+    res_dist: jax.Array = None       # [Rz]
 
 
 def _class_offsets(n: int) -> list[int]:
@@ -328,6 +341,42 @@ def build_banded_kernel_plan(
             return jnp.asarray(np.stack(slots, axis=0))
         return jnp.full((1, V), -1, jnp.int32)
 
+    # static geometry planes: per-slot Euclidean edge lengths with invalid
+    # endpoints baked in as inf (they never change with costs)
+    adj_e = host_array(mesh, "adj_edge")
+    invalid = host_array(mesh, "invalid")
+    edist = host_array(mesh, "edge_dist")
+    D_slots = np.where(
+        mask & ~invalid[adj] & ~invalid[:, None], edist[adj_e], np.inf
+    ).astype(np.float32)
+
+    def dplane(sm):
+        w = np.where(sm >= 0, D_slots[np.arange(V), np.maximum(sm, 0)], np.inf)
+        p = np.full(R * n, np.inf, np.float32)
+        p[:V] = w
+        return np.pad(
+            p.reshape(R, n), ((0, 0), (0, Cp - n)), constant_values=np.inf
+        )
+
+    dist_lat_fwd = dplane(slot_map[0])
+    dist_lat_bwd = dplane(slot_map[1])
+    dist_down = np.stack([dplane(slot_map[2 + i]) for i in range(3)], axis=1)
+    dist_up = np.stack([dplane(slot_map[5 + i]) for i in range(3)], axis=1)
+    xdist_down_l = [dplane(s) for s in xslots_down]
+    xdist_up_l = [dplane(s) for s in xslots_up]
+    res_dist = np.where(
+        res_slot >= 0,
+        D_slots[
+            (res_dst // Cp) * n + res_dst % Cp, np.maximum(res_slot, 0)
+        ],
+        np.inf,
+    ).astype(np.float32)
+
+    def xstack_np(planes):
+        if planes:
+            return jnp.asarray(np.stack(planes, axis=1), jnp.float32)
+        return jnp.full((R, 1, Cp), np.inf, jnp.float32)
+
     return BandedKernelPlan(
         n_rows=R,
         n_cols=n,
@@ -353,6 +402,13 @@ def build_banded_kernel_plan(
         xup=xstack(xplanes_up),
         xslot_down=xslot(xslots_down),
         xslot_up=xslot(xslots_up),
+        dist_lat_fwd=jnp.asarray(dist_lat_fwd),
+        dist_lat_bwd=jnp.asarray(dist_lat_bwd),
+        dist_down=jnp.asarray(dist_down),
+        dist_up=jnp.asarray(dist_up),
+        xdist_down=xstack_np(xdist_down_l),
+        xdist_up=xstack_np(xdist_up_l),
+        res_dist=jnp.asarray(res_dist),
     )
 
 
@@ -413,6 +469,97 @@ def refresh_banded_planes(
             [xplane(plan.xslot_up[k]) for k in range(len(plan.xlanes_up))],
             axis=1,
         )
+    return dataclasses.replace(
+        plan, down=down, up=up, a_fwd=a_fwd, a_bwd=a_bwd, res_w=res_w,
+        xdown=xdown, xup=xup, lat_fwd=lat_fwd, lat_bwd=lat_bwd,
+    )
+
+
+def refresh_banded_planes_from_costs(
+    plan: BandedKernelPlan,
+    vertex_costs: jax.Array,
+    *,
+    edge_cost_factor: float | jax.Array = 0.0,
+    cost_limit: float | jax.Array = 1.0,
+) -> BandedKernelPlan:
+    """GATHER-FREE live-replan refresh: derive every weight plane directly
+    from the [V] cost field using the plan's static distance planes.
+
+    w(u -> v) = dist * (1 + factor * (c_u + c_v) / 2), +inf when either cost
+    is inf, when the source cost exceeds cost_limit (the popped-vertex skip,
+    dijkstra_mesh_planner.cpp:302-303), or when the edge is absent/invalid
+    (baked into the static planes). Because each class's source offset is a
+    CONSTANT (dr, dc), the source cost field is a dense 2D shift of the
+    destination cost field — no [V, D] weight table and no gathers except
+    the tiny residual list. Measured at 1M: the slot-weight path spends
+    157 ms in gathers per update; this is pure VPU + ~30 MB of traffic.
+
+    Exactly equivalent to
+    refresh_banded_planes(plan, slot_weights(compute_edge_weights(...)))."""
+    V = plan.num_vertices
+    R, C, Cp, S = plan.n_rows, plan.n_cols, plan.n_cols_pad, plan.n_scan
+    f = edge_cost_factor
+
+    cost_pad = (
+        jnp.full((R * C,), INF, jnp.float32)
+        .at[:V].set(vertex_costs.astype(jnp.float32))
+        .reshape(R, C)
+    )
+    cost_pad = jnp.pad(cost_pad, ((0, 0), (0, Cp - C)), constant_values=INF)
+
+    def weigh(dist_p, dr, dc):
+        cu = _shift2(cost_pad, dr, dc, xp=jnp)          # source cost
+        w = dist_p * (1.0 + f * 0.5 * (cost_pad + cu))
+        ok = (
+            jnp.isfinite(dist_p)
+            & jnp.isfinite(cost_pad)
+            & jnp.isfinite(cu)
+            & (cu <= cost_limit)
+        )
+        return jnp.where(ok, w, INF).astype(jnp.float32)
+
+    lat_fwd = weigh(plan.dist_lat_fwd, 0, -1)
+    lat_bwd = weigh(plan.dist_lat_bwd, 0, 1)
+    down = jnp.stack(
+        [weigh(plan.dist_down[:, i, :], -1, i - 1) for i in range(3)], axis=1
+    )
+    up = jnp.stack(
+        [weigh(plan.dist_up[:, i, :], 1, i - 1) for i in range(3)], axis=1
+    )
+    lf_eff, lb_eff = _effective_laterals(lat_fwd, lat_bwd, down, up, xp=jnp)
+    a_fwd, a_bwd = _chain_weights(lf_eff, lb_eff, S, xp=jnp)
+
+    xdown = plan.xdown
+    xup = plan.xup
+    if plan.xlanes_down:
+        xdown = jnp.stack(
+            [
+                weigh(plan.xdist_down[:, i, :], -sel, dc)
+                for i, (sel, dc) in enumerate(plan.xlanes_down)
+            ],
+            axis=1,
+        )
+    if plan.xlanes_up:
+        xup = jnp.stack(
+            [
+                weigh(plan.xdist_up[:, i, :], sel, dc)
+                for i, (sel, dc) in enumerate(plan.xlanes_up)
+            ],
+            axis=1,
+        )
+
+    # residual: tiny gather list
+    cflat = cost_pad.reshape(-1)
+    c_dst = cflat[plan.res_dst]
+    c_src = cflat[plan.res_src]
+    w = plan.res_dist * (1.0 + f * 0.5 * (c_dst + c_src))
+    ok = (
+        jnp.isfinite(plan.res_dist)
+        & jnp.isfinite(c_dst)
+        & jnp.isfinite(c_src)
+        & (c_src <= cost_limit)
+    )
+    res_w = jnp.where(ok, w, INF).astype(jnp.float32)
     return dataclasses.replace(
         plan, down=down, up=up, a_fwd=a_fwd, a_bwd=a_bwd, res_w=res_w,
         xdown=xdown, xup=xup, lat_fwd=lat_fwd, lat_bwd=lat_bwd,

@@ -347,3 +347,63 @@ def test_light_path_after_lethal_update():
     # path terminates at the goal and stays on finite-cost vertices
     valid = np.asarray(res.path_valid[0])
     assert valid.any()
+
+
+def test_refresh_from_costs_matches_weight_table_path():
+    """The gather-free cost->plane refresh must equal the slot-weight-table
+    refresh exactly (same traversability rules, same float math shape)."""
+    import jax
+
+    from mesh_navigation_tpu.ops import sweeps as _sweeps
+
+    m = _terrain16()
+    rng = np.random.default_rng(11)
+    costs0 = rng.uniform(0.0, 0.5, m.num_vertices).astype(np.float32)
+    _, W0 = _weights(m, costs0, cost_limit=1.2, edge_cost_factor=0.7)
+    plan0 = pallas_banded.build_banded_kernel_plan(m, W0)
+
+    costs1 = rng.uniform(0.0, 1.5, m.num_vertices).astype(np.float32)
+    costs1[10:20] = np.inf
+    ew1 = _sweeps.compute_edge_weights(m, jnp.asarray(costs1), 0.7)
+    W1 = _sweeps.slot_weights(m, ew1, jnp.asarray(costs1), 1.2)
+    via_table = pallas_banded.refresh_banded_planes(plan0, W1)
+    via_costs = jax.jit(
+        lambda p, c: pallas_banded.refresh_banded_planes_from_costs(
+            p, c, edge_cost_factor=0.7, cost_limit=1.2
+        )
+    )(plan0, jnp.asarray(costs1))
+    for name in ("down", "up", "a_fwd", "a_bwd", "res_w", "lat_fwd",
+                 "lat_bwd", "xdown", "xup"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(via_costs, name)),
+            np.asarray(getattr(via_table, name)),
+            rtol=1e-6, atol=1e-6, err_msg=name,
+        )
+
+
+def test_refresh_from_costs_irregular():
+    from mesh_navigation_tpu.mesh import reorder, synthetic as _syn
+    from mesh_navigation_tpu.ops import sweeps as _sweeps
+
+    v, f = _syn.irregular_terrain_mesh(14, 14, spacing=0.5, jitter=0.4,
+                                       hills=1.0, seed=3)
+    m = reorder.build_reordered_mesh(v, f)
+    rng = np.random.default_rng(4)
+    costs0 = np.zeros(m.num_vertices, np.float32)
+    _, W0 = _weights(m, costs0, cost_limit=2.0, edge_cost_factor=1.0)
+    plan0 = pallas_banded.build_banded_kernel_plan(m, W0)
+    assert plan0.n_residual > 0   # xlanes may be empty at this tiny scale
+
+    costs1 = rng.uniform(0.0, 0.8, m.num_vertices).astype(np.float32)
+    ew1 = _sweeps.compute_edge_weights(m, jnp.asarray(costs1), 1.0)
+    W1 = _sweeps.slot_weights(m, ew1, jnp.asarray(costs1), 2.0)
+    via_table = pallas_banded.refresh_banded_planes(plan0, W1)
+    via_costs = pallas_banded.refresh_banded_planes_from_costs(
+        plan0, jnp.asarray(costs1), edge_cost_factor=1.0, cost_limit=2.0
+    )
+    for name in ("down", "up", "a_fwd", "a_bwd", "res_w", "xdown", "xup"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(via_costs, name)),
+            np.asarray(getattr(via_table, name)),
+            rtol=1e-6, atol=1e-6, err_msg=name,
+        )
