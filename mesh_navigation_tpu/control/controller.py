@@ -135,17 +135,23 @@ class MeshController:
         raw_dir = geometry.bary_interpolate(rows, fix.bary)
         return self._finish_velocity(fix, raw_dir, vertex_costs, orientation, state)
 
-    @functools.partial(jax.jit, static_argnums=0, static_argnames=("tol",))
+    @functools.partial(
+        jax.jit, static_argnums=0, static_argnames=("tol", "lane_minor")
+    )
     def compute_velocity_banded(
         self,
         kernel_plan,              # ops.pallas_banded.BandedKernelPlan
-        dist_bv: jax.Array,       # [B, V] converged labels (potential)
+        dist_bv: jax.Array,       # [B, V] labels; [V, B] when lane_minor
+                                  # (PlanResult.potential_vb + lane_map —
+                                  # skips the 1 GB potential transpose)
         vertex_costs: jax.Array,  # [V]
         positions: jax.Array,     # [B, 3]
         orientations: jax.Array,  # [B, 4]
         states: ControllerState,  # batched ([B] leaves)
         *,
         tol: float = 1e-5,
+        lane_minor: bool = False,
+        lane_map: jax.Array | None = None,
     ) -> tuple[VelocityCommand, ControllerState]:
         """Batched control cycle on the banded solver's label field: the
         direction rows are recovered on the fly (pred_at_vertices) at just
@@ -160,16 +166,15 @@ class MeshController:
         from mesh_navigation_tpu.ops import pallas_banded as _pb
 
         mesh = self.mesh
-
-        def _locate(p, f):
-            return tracking.locate(
-                mesh, self.grid, p, f,
-                max_dist=self.config.max_search_distance,
-            )
-
-        fix = jax.vmap(_locate)(positions, states.current_face)
+        fix = tracking.locate_batch(
+            mesh, self.grid, positions, states.current_face,
+            max_dist=self.config.max_search_distance,
+        )
         vids = mesh.faces[jnp.maximum(fix.face, 0)]            # [B, 3]
-        preds = _pb.pred_at_vertices(kernel_plan, dist_bv, vids, tol=tol)  # [B, 3]
+        preds = _pb.pred_at_vertices(
+            kernel_plan, dist_bv, vids, tol=tol,
+            lane_minor=lane_minor, lane_map=lane_map,
+        )                                                      # [B, 3]
         d = mesh.vertices[preds] - mesh.vertices[vids]
         unit = d / jnp.maximum(
             jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12

@@ -69,6 +69,83 @@ def locate(
     return FaceFix(face=face, bary=bary, position=pos_out, found=found)
 
 
+def locate_batch(
+    mesh: MeshArrays,
+    grid: query.SpatialGrid,
+    positions: jax.Array,       # [B, 3]
+    current_faces: jax.Array,   # [B] i32 (-1 = no tracked face)
+    *,
+    max_dist: float = 0.4,
+    hops: int = 2,
+) -> FaceFix:
+    """Batched `locate` with whole-batch stage gating: the neighbour-face
+    BFS and the global grid search run only when some lane actually needs
+    them (`lax.cond` at batch level — a per-lane cond under vmap lowers to
+    select and executes both branches for every lane). In steady-state
+    tracking almost every lane resolves in stage 1, so the two expensive
+    stages are skipped wholesale; on a cold start (all faces -1) the BFS is
+    skipped and only the global search runs."""
+    B = positions.shape[0]
+    dt = positions.dtype
+    has_face = current_faces >= 0
+    safe_face = jnp.maximum(current_faces, 0)
+
+    tri = mesh.vertices[mesh.faces[safe_face]]              # [B, 3, 3]
+    bary0, dist0, inside0 = jax.vmap(
+        geometry.projected_barycentric_coords
+    )(positions, tri)
+    ok0 = has_face & inside0 & (jnp.abs(dist0) < max_dist)
+
+    def nb_run(_):
+        return jax.vmap(
+            lambda p, f: query.neighbour_face_search(
+                mesh, p, f, max_dist, hops=hops
+            )
+        )(positions, safe_face)
+
+    def nb_skip(_):
+        return (
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B, 3), dt),
+            jnp.zeros((B,), bool),
+        )
+
+    nb_face, nb_bary, nb_found = jax.lax.cond(
+        jnp.any(has_face & ~ok0), nb_run, nb_skip, None
+    )
+    ok1 = has_face & ~ok0 & nb_found
+
+    def g_run(_):
+        return jax.vmap(
+            lambda p: query.containing_face(mesh, grid, p, max_dist)
+        )(positions)
+
+    def g_skip(_):
+        return (
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B, 3), dt),
+            jnp.zeros((B,), dt),
+            jnp.zeros((B,), bool),
+        )
+
+    g_face, g_bary, g_dist, g_found = jax.lax.cond(
+        jnp.any(~ok0 & ~ok1), g_run, g_skip, None
+    )
+    ok2 = ~ok0 & ~ok1 & g_found
+
+    face = jnp.where(
+        ok0, safe_face, jnp.where(ok1, nb_face, jnp.where(ok2, g_face, -1))
+    )
+    bary = jnp.where(
+        ok0[:, None], bary0, jnp.where(ok1[:, None], nb_bary, g_bary)
+    )
+    found = ok0 | ok1 | ok2
+    proj_tri = mesh.vertices[mesh.faces[jnp.maximum(face, 0)]]
+    projected = jax.vmap(geometry.bary_interpolate)(proj_tri, bary)
+    pos_out = jnp.where(found[:, None], projected, positions)
+    return FaceFix(face=face, bary=bary, position=pos_out, found=found)
+
+
 def direction_at(
     mesh: MeshArrays,
     vector_map: jax.Array,   # [V, 3]

@@ -1213,13 +1213,14 @@ def _to_padded_flat(plan: BandedKernelPlan, v: jax.Array) -> jax.Array:
 
 
 def _pred_kernel(
-    rb: int, C: int, tol: float,
+    rb: int, C: int, tol: float, as_class: bool,
     dist_ref,    # [rb, Cp, bb] center rows
     up_ref,      # [1, Cp, bb] row above the block (clamped at the top)
     dn_ref,      # [1, Cp, bb] row below the block (clamped at the bottom)
     w8_ref,      # [rb, 8, Cp] in-edge weight planes (row-major so the
                  # blocked trailing dims are (8, Cp) — Mosaic full-dim rule)
-    pred_ref,    # [rb, Cp, bb] i32 out: REAL-id predecessor
+    pred_ref,    # [rb, Cp, bb] out: REAL-id predecessor (i32), or the
+                 # winning class index 0..7 / 8 = self (i8, as_class=True)
 ):
     i = pl.program_id(1)
     Cp, bb = dist_ref.shape[1], dist_ref.shape[2]
@@ -1252,14 +1253,22 @@ def _pred_kernel(
             cand = srcs[k] + w8_ref[r, k, :][:, None]
             take = cand < best
             best = jnp.where(take, cand, best)
-            rel = jnp.where(take, jnp.int32(off_real[k]), rel)
+            rel = jnp.where(
+                take, jnp.int32(k if as_class else off_real[k]), rel
+            )
         has = (best <= cur * (1.0 + tol) + tol) & (cur > 0) & jnp.isfinite(cur)
-        self_real = ((i * rb + r) * C + col).astype(jnp.int32)
-        pred_ref[r] = self_real + jnp.where(has, rel, 0)
+        if as_class:
+            # 4x less HBM than the int32 id table — the [V, B] pred write
+            # is bandwidth-bound, so classes cut the pred stage ~4x; the
+            # path walk decodes id = v + delta[class] (extract_paths_cls)
+            pred_ref[r] = jnp.where(has, rel, 8).astype(jnp.int8)
+        else:
+            self_real = ((i * rb + r) * C + col).astype(jnp.int32)
+            pred_ref[r] = self_real + jnp.where(has, rel, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "rb", "bb", "tol", "interpret")
+    jax.jit, static_argnames=("C", "rb", "bb", "tol", "interpret", "as_class")
 )
 def _predecessors_pallas_padded(
     d: jax.Array,        # [Rp, Cp, Bp] converged field
@@ -1270,13 +1279,14 @@ def _predecessors_pallas_padded(
     bb: int,
     tol: float,
     interpret: bool = False,
+    as_class: bool = False,
 ):
     Rp, Cp, Bp = d.shape
     n_i = Rp // rb
     n_j = Bp // bb
 
     pred = pl.pallas_call(
-        functools.partial(_pred_kernel, rb, C, tol),
+        functools.partial(_pred_kernel, rb, C, tol, as_class),
         grid=(n_j, n_i),
         in_specs=[
             pl.BlockSpec((rb, Cp, bb), lambda j, i: (i, 0, j),
@@ -1293,7 +1303,9 @@ def _predecessors_pallas_padded(
         ],
         out_specs=pl.BlockSpec((rb, Cp, bb), lambda j, i: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, Cp, Bp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (Rp, Cp, Bp), jnp.int8 if as_class else jnp.int32
+        ),
         interpret=interpret,
     )(d, d, d, w8)
     return pred
@@ -1367,6 +1379,105 @@ def predecessors_banded_pallas(
     return pred
 
 
+def predecessors_banded_classes(
+    plan: BandedKernelPlan,
+    d_pad: jax.Array,        # [Rp, Cp, Bp] converged padded field
+    *,
+    tol: float = 1e-5,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """predecessors_banded_pallas, but the [V, Bp] table holds the winning
+    in-edge CLASS (int8, 0..7 in _pred_kernel's off_real order, 8 = self)
+    instead of the int32 vertex id — 4x less HBM on the bandwidth-bound
+    pred write. Decode: pred_id = v + delta[class] with delta =
+    (-1, 1, -C-1, -C, -C+1, C-1, C, C+1, 0) (extract_paths_cls does this
+    per step). Only valid when the plan has no residual edges (residual
+    predecessors are not class-representable)."""
+    if plan.n_residual:
+        raise ValueError("class pred table requires n_residual == 0")
+    if interpret is None:
+        interpret = not pallas_available()
+    Rp, Cp, Bp = d_pad.shape
+    R, C, V = plan.n_rows, plan.n_cols, plan.num_vertices
+
+    def pad_rows(p):
+        return jnp.pad(
+            p, [(0, Rp - R)] + [(0, 0)] * (p.ndim - 1), constant_values=INF
+        )
+
+    w8 = jnp.stack(
+        [
+            pad_rows(plan.lat_fwd),
+            pad_rows(plan.lat_bwd),
+            pad_rows(plan.down[:, 0, :]),
+            pad_rows(plan.down[:, 1, :]),
+            pad_rows(plan.down[:, 2, :]),
+            pad_rows(plan.up[:, 0, :]),
+            pad_rows(plan.up[:, 1, :]),
+            pad_rows(plan.up[:, 2, :]),
+        ],
+        axis=1,
+    )                                                       # [Rp, 8, Cp]
+    if interpret:
+        rb, bb = 2, d_pad.shape[2]
+    else:
+        rb, bb = _pick_blocks(Cp, dtype=d_pad.dtype)
+    cls = _predecessors_pallas_padded(
+        d_pad, w8, C=C, rb=rb, bb=bb, tol=tol, interpret=interpret,
+        as_class=True,
+    )
+    return cls[:R, :C, :].reshape(R * C, Bp)[:V]
+
+
+def extract_paths_cls(
+    cls_vb: jax.Array,       # [V, B] i8 class table (lane-minor)
+    start_v: jax.Array,      # [B]
+    goal_v: jax.Array,       # [B]
+    max_len: int,
+    C: int,
+) -> tuple[jax.Array, jax.Array]:
+    """extract_paths_vb over a class table: each step gathers one int8 per
+    lane and decodes the next REAL id as v + delta[class]. Same early-exit
+    chunking; class 8 terminates (pred == self)."""
+    B = start_v.shape[0]
+    lane = jnp.arange(B, dtype=jnp.int32)
+    delta = jnp.asarray(
+        [-1, 1, -C - 1, -C, -C + 1, C - 1, C, C + 1, 0], jnp.int32
+    )
+    chunk = 256
+    n_chunks = -(-max_len // chunk)
+    L = n_chunks * chunk
+
+    def step(carry, _):
+        v, alive = carry
+        k = cls_vb[v, lane].astype(jnp.int32)
+        nxt = v + delta[k]
+        reached_end = (v == goal_v) | (k == 8)
+        new_alive = alive & ~reached_end
+        return (jnp.where(new_alive, nxt, v), new_alive), (v, alive)
+
+    def body(carry):
+        v, alive, k, path, valid = carry
+        (v, alive), (p_c, a_c) = jax.lax.scan(
+            step, (v, alive), None, length=chunk
+        )
+        path = jax.lax.dynamic_update_slice_in_dim(path, p_c, k * chunk, 0)
+        valid = jax.lax.dynamic_update_slice_in_dim(valid, a_c, k * chunk, 0)
+        return v, alive, k + 1, path, valid
+
+    def cond(carry):
+        v, alive, k, _, _ = carry
+        return jnp.any(alive) & (k < n_chunks)
+
+    path0 = jnp.broadcast_to(start_v[None, :], (L, B))
+    valid0 = jnp.zeros((L, B), bool)
+    v, alive, _, path, valid = jax.lax.while_loop(
+        cond, body, (start_v, jnp.ones(B, bool), jnp.int32(0), path0, valid0)
+    )
+    fill = jnp.where(valid, path, v[None, :])
+    return fill[:max_len].T, valid[:max_len].T
+
+
 def extract_paths_vb(
     pred_vb: jax.Array,      # [V, B] i32 predecessor map (lane-minor)
     start_v: jax.Array,      # [B]
@@ -1418,10 +1529,12 @@ def extract_paths_vb(
 
 def pred_at_vertices(
     plan: BandedKernelPlan,
-    dist_bv: jax.Array,      # [B, V] converged labels (PlanResult.potential)
+    dist_bv: jax.Array,      # [B, V] labels; [V, Bp] when lane_minor=True
     vids: jax.Array,         # [B, K] REAL vertex ids (per batch lane)
     *,
     tol: float = 1e-5,
+    lane_minor: bool = False,
+    lane_map: jax.Array | None = None,  # [B] column per robot (lane_minor)
 ) -> jax.Array:
     """On-the-fly predecessor lookup for a handful of vertices per lane —
     pred[v] = argmin_u dist[u] + w(u, v) over the eight banded classes
@@ -1431,20 +1544,32 @@ def pred_at_vertices(
 
     This replaces the full [B, V] predecessors_banded recovery on the light
     path: the controller only needs preds at the tracked face's 3 vertices
-    (175 ms -> microseconds at 1M x 256)."""
+    (175 ms -> microseconds at 1M x 256).
+
+    lane_minor=True reads the solver's native [V, B] layout directly — no
+    [B, V] transpose of the 1 GB potential ever materializes. lane_map
+    remaps robots to solver lanes when the solve ran in sorted-goal order
+    (PlanResult.lane_map)."""
     B, K = vids.shape
     V = plan.num_vertices
     W8, offs = _inbound_tables(plan)
 
-    lane = jnp.arange(B, dtype=jnp.int32)[:, None]         # [B, 1]
+    lane = jnp.arange(B, dtype=jnp.int32)
+    if lane_map is not None:
+        lane = lane_map.astype(jnp.int32)
+    lane = lane[:, None]                                   # [B, 1]
     u = vids[None, :, :] + offs[:, None, None]             # [8, B, K]
     u_cl = jnp.clip(u, 0, V - 1)
-    du = dist_bv[lane[None], u_cl]                         # [8, B, K]
+    if lane_minor:
+        du = dist_bv[u_cl, lane[None]]                     # [8, B, K]
+        dv = dist_bv[vids, lane]
+    else:
+        du = dist_bv[lane[None], u_cl]                     # [8, B, K]
+        dv = dist_bv[lane, vids]
     cand = du + W8[:, _to_padded_flat(plan, vids)]
     best = jnp.min(cand, axis=0)
     arg = jnp.argmin(cand, axis=0)
     u_best = jnp.take_along_axis(u_cl, arg[None], axis=0)[0]   # [B, K]
-    dv = dist_bv[lane, vids]
     has = (best <= dv * (1.0 + tol) + tol) & (dv > 0) & jnp.isfinite(dv)
     return jnp.where(has, u_best, vids)
 

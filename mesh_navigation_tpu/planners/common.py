@@ -24,6 +24,14 @@ class PlanResult(NamedTuple):
     potential: jax.Array       # [V] f32
     vector_map: jax.Array      # [V, 3] f32
     pred: jax.Array            # [V] i32
+    # Batched light-path extras (None on per-plan results): the solver's
+    # native lane-minor field [V, B] — reading it avoids materializing the
+    # [B, V] `potential` transpose (1 GB at 1M x 256; XLA dead-code
+    # eliminates `potential` when only potential_vb is consumed) — and the
+    # robot->solver-lane column map for it (the light solve runs lanes in
+    # sorted-goal order; potential_vb keeps that order).
+    potential_vb: jax.Array | None = None   # [V, B] f32, solver lane order
+    lane_map: jax.Array | None = None       # [B] i32 column of robot b
 
 
 def pose_chain(

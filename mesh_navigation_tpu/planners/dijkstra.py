@@ -230,21 +230,33 @@ class DijkstraPlanner:
         )
         R, C = kernel_plan.n_rows, kernel_plan.n_cols
         V = kernel_plan.num_vertices
-        potential = (
-            res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32).T
-        )                                                       # [B, V] sorted
+        potential_vb = (
+            res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32)
+        )                                                   # [V, B] sorted
+        potential = potential_vb.T                          # [B, V] sorted
         tol = 1e-2 if dtype == jnp.bfloat16 else max(1e-5, 3.0 * rtol)
-        pred_vb = _pb.predecessors_banded_pallas(
-            kernel_plan, res.d_pad, tol=tol
-        )[:, :B]
-        path, valid = _pb.extract_paths_vb(
-            pred_vb, start_s, goal_s, self.max_path_len
-        )                                                       # [B, L] sorted
+        if kernel_plan.n_residual == 0:
+            # int8 class table + decode-as-you-walk: 4x less pred HBM
+            cls_vb = _pb.predecessors_banded_classes(
+                kernel_plan, res.d_pad, tol=tol
+            )[:, :B]
+            path, valid = _pb.extract_paths_cls(
+                cls_vb, start_s, goal_s, self.max_path_len, C
+            )                                               # [B, L] sorted
+        else:
+            pred_vb = _pb.predecessors_banded_pallas(
+                kernel_plan, res.d_pad, tol=tol
+            )[:, :B]
+            path, valid = _pb.extract_paths_vb(
+                pred_vb, start_s, goal_s, self.max_path_len
+            )                                               # [B, L] sorted
         positions = mesh.vertices[path]
         quats, cost = jax.vmap(pose_chain)(
             positions, valid, mesh.vertex_normals[path]
         )
-        reached = jnp.isfinite(potential[jnp.arange(B), start_s])
+        reached = jnp.isfinite(
+            potential_vb[start_s, jnp.arange(B, dtype=jnp.int32)]
+        )
         outcome = jnp.where(
             reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND
         ).astype(jnp.int32)
@@ -257,6 +269,8 @@ class DijkstraPlanner:
             potential=potential[inv],
             vector_map=None,
             pred=None,
+            potential_vb=potential_vb,
+            lane_map=inv,
         )
 
     def prepare_offset_plan(self, weights_vd: jax.Array):

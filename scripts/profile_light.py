@@ -97,7 +97,8 @@ sort_fn = jax.jit(lambda gv, sv: (jnp.argsort(gv), gv[jnp.argsort(gv)], sv[jnp.a
 _, gs, ss = timeit("sort", sort_fn, [(gv, sv)] * 2)
 
 # --- stage 3: field solve ---
-solve = jax.jit(lambda seeds: pb.banded_solve_padded(plan, seeds, max_rounds=64, dtype=dtype))
+solve = jax.jit(lambda seeds: pb.banded_solve_padded(
+    plan, seeds, max_rounds=64, dtype=dtype, atol=1e-4, rtol=1e-3))
 SEEDV = [jnp.asarray(rng.integers(0, V, size=B), jnp.int32) for _ in range(5)]
 SEEDV_S = [jnp.sort(s) for s in SEEDV]
 res = timeit("solve (sorted seeds)", solve, [(s,) for s in SEEDV_S])
@@ -111,14 +112,20 @@ R, C = plan.n_rows, plan.n_cols
 if plan.n_residual == 0:
     predf = jax.jit(lambda d: pb.predecessors_banded_pallas(plan, d))
     pred_vb = timeit("pred pallas [V,Bp]", predf, [(d_pad,)] * 2)
+    predc = jax.jit(lambda d: pb.predecessors_banded_classes(plan, d))
+    cls_vb = timeit("pred classes i8 [V,Bp]", predc, [(d_pad,)] * 2)
 else:
     print("  (residuals present; skipping pallas pred)")
     pred_vb = None
+    cls_vb = None
 
 # --- stage 5: path extraction ---
 if pred_vb is not None:
     exf = jax.jit(lambda p, s, g: pb.extract_paths_vb(p[:, :B], s, g, max_path))
     path, valid = timeit("extract_paths_vb", exf, [(pred_vb, ss, gs)] * 2)
+    exc = jax.jit(lambda p, s, g: pb.extract_paths_cls(
+        p[:, :B], s, g, max_path, plan.n_cols))
+    timeit("extract_paths_cls", exc, [(cls_vb, ss, gs)] * 2)
 
     # --- stage 6: poses ---
     def poses(path, valid):
@@ -138,6 +145,15 @@ cf = jax.jit(
     )
 )
 timeit("controller cycle", cf, [(potential, ARGS[0][0], ARGS[0][2], st)] * 2)
+
+potential_vb = d_pad[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32)
+cfv = jax.jit(
+    lambda pot, s, q, st: ctrl.compute_velocity_banded(
+        plan, pot, costs, s, q, st, tol=tolv, lane_minor=True
+    )
+)
+timeit("controller cycle [V,B]", cfv,
+       [(potential_vb, ARGS[0][0], ARGS[0][2], st)] * 2)
 
 # --- end to end for comparison ---
 def full(starts, goals, quats):

@@ -170,3 +170,46 @@ def test_compute_velocity_pred_matches_vector_map(grid_mesh_small):
         float(cmd_vm.angular), float(cmd_pred.angular), rtol=1e-5, atol=1e-6
     )
     assert int(cmd_pred.outcome) == int(cmd_vm.outcome) == Outcome.SUCCESS
+
+
+def test_locate_batch_matches_vmapped_locate(grid_mesh_small):
+    """locate_batch's batch-gated stages must agree with per-lane locate on
+    a mix of tracked (stage 1/2) and untracked (stage 3) lanes."""
+    from mesh_navigation_tpu.control import tracking
+    from mesh_navigation_tpu.mesh import query
+
+    m = grid_mesh_small
+    grid = query.build_grid(m)
+    poss = jnp.asarray(
+        [
+            [0.6, 0.6, 0.0],    # inside face 0's neighbourhood
+            [3.2, 2.7, 0.0],
+            [5.5, 5.1, 0.0],
+            [1.1, 6.3, 0.0],
+        ],
+        jnp.float32,
+    )
+    # lane 0: correct current face; lane 1: stale face (neighbour search);
+    # lanes 2-3: no face (global search)
+    f0 = int(np.asarray(
+        query.containing_face(m, grid, poss[0])[0]
+    ))
+    faces = jnp.asarray([f0, max(f0 - 2, 0), -1, -1], jnp.int32)
+
+    ref = jax.vmap(
+        lambda p, f: tracking.locate(m, grid, p, f)
+    )(poss, faces)
+    got = tracking.locate_batch(m, grid, poss, faces)
+    np.testing.assert_array_equal(np.asarray(ref.face), np.asarray(got.face))
+    np.testing.assert_allclose(
+        np.asarray(ref.bary), np.asarray(got.bary), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.found), np.asarray(got.found)
+    )
+    # all-tracked batch: expensive stages gated off, same answers
+    ref2 = jax.vmap(
+        lambda p, f: tracking.locate(m, grid, p, f)
+    )(poss, ref.face)
+    got2 = tracking.locate_batch(m, grid, poss, ref.face)
+    np.testing.assert_array_equal(np.asarray(ref2.face), np.asarray(got2.face))

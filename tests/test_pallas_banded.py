@@ -177,6 +177,82 @@ def test_plan_batch_banded_light_matches_full():
     )
 
 
+def test_class_pred_table_matches_int32():
+    """int8 class pred (predecessors_banded_classes + delta decode) must
+    reproduce the int32 id table exactly, and extract_paths_cls must walk
+    the same paths as extract_paths_vb."""
+    m = _terrain16()
+    costs = np.asarray(
+        0.1 * np.sin(np.arange(m.num_vertices)) ** 2, np.float32
+    )
+    _, W = _weights(m, costs)
+    plan = pallas_banded.build_banded_kernel_plan(m, np.asarray(W))
+    assert plan.n_residual == 0
+    seeds = jnp.asarray([5, 200], jnp.int32)
+    res = pallas_banded.banded_solve_padded(plan, seeds)
+    pred32 = np.asarray(
+        pallas_banded.predecessors_banded_pallas(plan, res.d_pad)[:, :2]
+    )
+    cls = np.asarray(
+        pallas_banded.predecessors_banded_classes(plan, res.d_pad)[:, :2]
+    )
+    C = plan.n_cols
+    delta = np.asarray([-1, 1, -C - 1, -C, -C + 1, C - 1, C, C + 1, 0])
+    decoded = np.arange(m.num_vertices)[:, None] + delta[cls]
+    np.testing.assert_array_equal(decoded, pred32)
+
+    starts = jnp.asarray([250, 17], jnp.int32)
+    p32, v32 = pallas_banded.extract_paths_vb(
+        jnp.asarray(pred32), starts, seeds, 64
+    )
+    pc, vc = pallas_banded.extract_paths_cls(
+        jnp.asarray(cls), starts, seeds, 64, C
+    )
+    np.testing.assert_array_equal(np.asarray(p32), np.asarray(pc))
+    np.testing.assert_array_equal(np.asarray(v32), np.asarray(vc))
+
+
+def test_controller_lane_minor_matches():
+    """compute_velocity_banded on the solver-native [V, B] field (+ lane
+    remap) must emit identical commands to the [B, V] potential path."""
+    from mesh_navigation_tpu.config import ControllerConfig, PlannerConfig
+    from mesh_navigation_tpu.control import MeshController
+    from mesh_navigation_tpu.control.controller import initial_state
+    from mesh_navigation_tpu.planners import DijkstraPlanner
+
+    m = _terrain16()
+    costs = np.zeros(m.num_vertices, np.float32)
+    _, W = _weights(m, costs)
+    planner = DijkstraPlanner(
+        m, PlannerConfig(method="batched", ordered_rounds=0), max_path_len=128
+    )
+    kplan = planner.prepare_banded_plan(np.asarray(W))
+    ctrl = MeshController(m, ControllerConfig(), grid=planner.grid)
+    starts = jnp.asarray([[1.0, 1.0, 0.0], [5.0, 2.0, 0.0]], jnp.float32)
+    # reversed goal order so the sorted-lane permutation is non-trivial
+    goals = jnp.asarray([[6.0, 6.0, 0.0], [1.5, 6.5, 0.0]], jnp.float32)
+    res = planner.plan_batch_banded(W, kplan, starts, goals, light=True)
+    import jax
+
+    quats = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (2, 1))
+    st = jax.vmap(
+        lambda g: initial_state(g, jnp.asarray([1.0, 0.0, 0.0]))
+    )(goals)
+    cmd_bv, _ = ctrl.compute_velocity_banded(
+        kplan, res.potential, jnp.asarray(costs), starts, quats, st
+    )
+    cmd_vb, _ = ctrl.compute_velocity_banded(
+        kplan, res.potential_vb, jnp.asarray(costs), starts, quats, st,
+        lane_minor=True, lane_map=res.lane_map,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cmd_bv.linear), np.asarray(cmd_vb.linear), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(cmd_bv.angular), np.asarray(cmd_vb.angular), rtol=1e-6
+    )
+
+
 def test_descend_paths_matches_pred_chain():
     """Greedy descent over the label field must reproduce the full-pred
     backtracking chain (same vertices while both valid, same endpoints)."""
