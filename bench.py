@@ -19,7 +19,7 @@ Secondary lines measured per run:
   - the same plan+control pipeline on an IRREGULAR (jittered-Delaunay,
     band-reordered) mesh of the same size — the reference's real input class
 
-Env knobs: BENCH_MESH_N (default 1024 -> 1M vertices), BENCH_BATCH (256),
+Env knobs: BENCH_MESH_N (default 1024 -> 1M vertices), BENCH_BATCH (1024),
 BENCH_ITERS (4), BENCH_DTYPE (f32 | bf16), BENCH_SCAN_STEPS (0 = full),
 BENCH_IRREGULAR (1 to include the irregular-mesh line), BENCH_REPLAN (1),
 BENCH_ORACLE_LANES (2).
@@ -195,7 +195,9 @@ def oracle_check(mesh, pipe, out_potential, starts, goals, n_lanes, label):
 def main():
     t_start = time.time()
     mesh_n = int(os.environ.get("BENCH_MESH_N", "1024"))    # mesh = n*n vertices
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    # 1024 lanes amortize the serial path-walk + per-stage overheads:
+    # measured 2532 (B=256) -> 2953 (512) -> 3045 (1024) solves/s at 1M
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "4"))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16" else jnp.float32
     scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "0"))
@@ -327,8 +329,11 @@ def main():
 
         rfn = jax.jit(replan)
         ctr = jnp.asarray([mesh_n * 0.25, mesh_n * 0.25], jnp.float32)
+        # replan latency is per-UPDATE (one obstacle -> refreshed field for
+        # the active robots); it shouldn't scale with the throughput batch
+        b_rep = min(batch, 256)
         seeds_r = jnp.sort(
-            jnp.asarray(rng.integers(0, mesh.num_vertices, batch), jnp.int32)
+            jnp.asarray(rng.integers(0, mesh.num_vertices, b_rep), jnp.int32)
         )
         out_r = rfn(pipe["costs"], ctr, kp, seeds_r)
         jax.block_until_ready(out_r)
@@ -342,7 +347,7 @@ def main():
         dt_replan = (time.time() - t3) / n_rep
         log(
             f"# update->refresh->replan {dt_replan*1000:.1f} ms "
-            f"({1.0/dt_replan:.1f} Hz, B={batch} lanes/update)"
+            f"({1.0/dt_replan:.1f} Hz, B={b_rep} lanes/update)"
         )
         emit("replan_cascade_hz", 1.0 / dt_replan, "Hz", (1.0 / dt_replan) / 50.0)
       except Exception as e:
