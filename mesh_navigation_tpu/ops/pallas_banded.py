@@ -1570,6 +1570,40 @@ def pred_at_vertices(
     best = jnp.min(cand, axis=0)
     arg = jnp.argmin(cand, axis=0)
     u_best = jnp.take_along_axis(u_cl, arg[None], axis=0)[0]   # [B, K]
+
+    if plan.n_residual:
+        # residual in-edges at the queried vertices (irregular meshes):
+        # without these, vertices whose label is explained only by a
+        # residual edge read pred = self and the controller samples a zero
+        # direction row. Trace-time CSR: sort residual edges by dst, probe
+        # up to 8 slots per vertex (res_* padding has w = inf, and >8
+        # residual in-edges on one vertex does not occur on band-reordered
+        # meshes — the dense classes absorb the near offsets).
+        C, Cp = plan.n_cols, plan.n_cols_pad
+        order = jnp.argsort(plan.res_dst)
+        rd = plan.res_dst[order]
+        rs = plan.res_src[order]
+        rw = plan.res_w[order]
+        vp = _to_padded_flat(plan, vids)                   # [B, K]
+        lo = jnp.searchsorted(rd, vp)                      # [B, K]
+        P = 8
+        idx = lo[..., None] + jnp.arange(P, dtype=jnp.int32)   # [B, K, P]
+        idx_cl = jnp.clip(idx, 0, rd.shape[0] - 1)
+        okr = (idx < rd.shape[0]) & (rd[idx_cl] == vp[..., None])
+        srcp = rs[idx_cl]                                  # padded flat ids
+        src_real = (srcp // Cp) * C + srcp % Cp
+        src_real = jnp.clip(src_real, 0, V - 1)
+        if lane_minor:
+            du_r = dist_bv[src_real, lane[..., None]]      # [B, K, P]
+        else:
+            du_r = dist_bv[lane[..., None], src_real]
+        cand_r = jnp.where(okr, du_r + rw[idx_cl], INF)
+        best_r = jnp.min(cand_r, axis=-1)                  # [B, K]
+        arg_r = jnp.argmin(cand_r, axis=-1)
+        u_r = jnp.take_along_axis(src_real, arg_r[..., None], axis=-1)[..., 0]
+        u_best = jnp.where(best_r < best, u_r, u_best)
+        best = jnp.minimum(best, best_r)
+
     has = (best <= dv * (1.0 + tol) + tol) & (dv > 0) & jnp.isfinite(dv)
     return jnp.where(has, u_best, vids)
 

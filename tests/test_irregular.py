@@ -192,3 +192,51 @@ def test_four_dir_same_fixed_point():
     for b, s in enumerate([7, 120]):
         od = _oracle(m, ew, costs, s)
         np.testing.assert_allclose(dist[:, b], od, rtol=1e-3, atol=1e-3)
+
+
+def test_pred_at_vertices_covers_residual_edges():
+    """The controller's on-the-fly pred lookup must find residual-only
+    predecessors (irregular meshes): wherever the full residual-aware
+    recovery explains a label, pred_at_vertices must not read self."""
+    m = _irregular(16, seed=7)
+    rng = np.random.default_rng(3)
+    costs = rng.uniform(0.0, 0.6, m.num_vertices).astype(np.float32)
+    ew, W = _weights(m, costs)
+    plan = pallas_banded.build_banded_kernel_plan(m, W)
+    assert plan.n_residual > 0
+    seeds = jnp.asarray([5, 111], jnp.int32)
+    res = pallas_banded.banded_solve_padded(plan, seeds)
+    B = 2
+    pred_full = np.asarray(
+        pallas_banded.predecessors_banded_pallas(plan, res.d_pad, tol=1e-4)
+    )[:, :B]
+
+    V = m.num_vertices
+    vids = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None], (B, V))
+    got = np.asarray(
+        pallas_banded.pred_at_vertices(
+            plan,
+            res.d_pad[: plan.n_rows, : plan.n_cols, :B]
+            .reshape(-1, B)[:V]
+            .astype(jnp.float32),
+            vids,
+            tol=1e-4,
+            lane_minor=True,
+        )
+    )                                                       # [B, V]
+    dn = np.asarray(
+        res.d_pad[: plan.n_rows, : plan.n_cols, :B].reshape(-1, B)[:V]
+    )
+    ids = np.arange(V)
+    for b in range(B):
+        full_has = pred_full[:, b] != ids
+        got_has = got[b] != ids
+        reached = np.isfinite(dn[:, b]) & (dn[:, b] > 0)
+        # every label the full recovery explains must also be explained here
+        missing = reached & full_has & ~got_has
+        assert not missing.any(), f"lane {b}: {missing.sum()} unexplained"
+        # and each returned pred must actually explain the label
+        p = got[b]
+        expl = p != ids
+        lhs = dn[p[expl], b]
+        assert np.all(lhs <= dn[expl, b] * (1 + 1e-3) + 1e-3)
