@@ -107,6 +107,15 @@ class MeshNavServer:
         if not isinstance(self.planner, DijkstraPlanner):
             self.offset_plan = None
             self.banded_plan = None
+            # CVP's at-scale path (banded fast-sweeping eikonal kernel):
+            # classification is host-side and weight-dependent, so it is
+            # (re)built on structural refreshes; the default planner then
+            # actually reaches ops/pallas_eikonal.py through
+            # get_path_batch instead of the gather solver
+            if structural or getattr(self, "eikonal_plan", None) is None:
+                self.eikonal_plan = self.planner.prepare_eikonal_plan(
+                    np.asarray(self.edge_weights), np.asarray(self.vertex_costs)
+                )
             return
         if structural or (self.offset_plan is None and self.banded_plan is None):
             # one host transfer at build time; classification is reused by
@@ -139,6 +148,51 @@ class MeshNavServer:
         self._refresh_costs(structural=False)
         self.layer_state.pop(f"obstacle:{layer_name}:points", None)
 
+    def make_replan_step(self, layer_name: str):
+        """One-jit live-replan cascade — the FULL §3.5 change path at
+        replanning rate: point cloud -> obstacle raycast (process_point_cloud)
+        -> layer DAG re-evaluation (inflation wavefront, combination) ->
+        edge-weight plane refresh -> INCREMENTAL warm-started field solve
+        (banded_solve_padded warm_d/warm_changed with the per-edge
+        convergence certificate).
+
+        Returns a jitted `step(points, prev_costs, d_prev, seeds) ->
+        (new_costs, d_pad, rounds)`; chain calls by feeding each result's
+        (new_costs, d_pad) into the next. Requires a Dijkstra banded plan
+        (the headline scale path). The layer cascade mirrors
+        layer_manager.cpp:202-263; the incremental solve replaces the
+        reference's updateEdgeWeights + full re-plan
+        (mesh_map.cpp:563-618)."""
+        if self.stack is None or self.banded_plan is None:
+            raise ValueError("replan step needs a layer stack + banded plan")
+        from mesh_navigation_tpu.ops import pallas_banded as _pb
+
+        mesh = self.mesh
+        stack = self.stack
+        base_state = dict(self.layer_state)
+        plan0 = self.banded_plan
+        pos_planes = _pb.position_planes(plan0, mesh)
+        factor = self.config.mesh_map.edge_cost_factor
+        cost_limit = self.config.planner.cost_limit
+        key_pts = f"obstacle:{layer_name}:points"
+
+        def step(points, prev_costs, d_prev, seeds):
+            st = dict(base_state)
+            st[key_pts] = points
+            _, combined = stack.compute(mesh, st)
+            kp = _pb.refresh_banded_planes_from_costs(
+                plan0, combined, edge_cost_factor=factor, cost_limit=cost_limit
+            )
+            changed = _pb.changed_plane_from_costs(plan0, prev_costs, combined)
+            res = _pb.banded_solve_padded(
+                kp, seeds, max_rounds=64, atol=1e-4, rtol=1e-3,
+                warm_d=d_prev, warm_changed=changed, warm_pos=pos_planes,
+                converge="check",
+            )
+            return combined, res.d_pad, res.rounds
+
+        return jax.jit(step)
+
     # ------------------------------------------------------------------
     # GetPath
     # ------------------------------------------------------------------
@@ -161,6 +215,10 @@ class MeshNavServer:
                     self.slot_weights, self.offset_plan, starts, goals
                 )
             return self.planner.plan_batch(self.slot_weights, starts, goals)
+        if getattr(self, "eikonal_plan", None) is not None:
+            return self.planner.plan_batch_banded(
+                self.edge_weights, self.eikonal_plan, starts, goals
+            )
         return self.planner.plan_batch(self.edge_weights, self.vertex_costs, starts, goals)
 
     # ------------------------------------------------------------------

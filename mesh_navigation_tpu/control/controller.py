@@ -136,7 +136,8 @@ class MeshController:
         return self._finish_velocity(fix, raw_dir, vertex_costs, orientation, state)
 
     @functools.partial(
-        jax.jit, static_argnums=0, static_argnames=("tol", "lane_minor")
+        jax.jit, static_argnums=0,
+        static_argnames=("tol", "lane_minor", "padded_flat"),
     )
     def compute_velocity_banded(
         self,
@@ -152,6 +153,7 @@ class MeshController:
         tol: float = 1e-5,
         lane_minor: bool = False,
         lane_map: jax.Array | None = None,
+        padded_flat: bool = False,
     ) -> tuple[VelocityCommand, ControllerState]:
         """Batched control cycle on the banded solver's label field: the
         direction rows are recovered on the fly (pred_at_vertices) at just
@@ -173,7 +175,7 @@ class MeshController:
         vids = mesh.faces[jnp.maximum(fix.face, 0)]            # [B, 3]
         preds = _pb.pred_at_vertices(
             kernel_plan, dist_bv, vids, tol=tol,
-            lane_minor=lane_minor, lane_map=lane_map,
+            lane_minor=lane_minor, lane_map=lane_map, padded_flat=padded_flat,
         )                                                      # [B, 3]
         d = mesh.vertices[preds] - mesh.vertices[vids]
         unit = d / jnp.maximum(

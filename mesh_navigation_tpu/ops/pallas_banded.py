@@ -59,10 +59,11 @@ def _round_up(x: int, m: int) -> int:
         "slot_map", "res_slot", "xdown", "xup", "xslot_down", "xslot_up",
         "lat_fwd", "lat_bwd", "dist_lat_fwd", "dist_lat_bwd", "dist_down",
         "dist_up", "xdist_down", "xdist_up", "res_dist",
+        "l2_fwd", "l2_bwd", "wback_fwd", "wback_bwd",
     ),
     meta_fields=(
         "n_rows", "n_cols", "n_cols_pad", "n_scan", "coverage", "num_vertices",
-        "n_residual", "xlanes_down", "xlanes_up",
+        "n_residual", "xlanes_down", "xlanes_up", "n_scan2",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -132,6 +133,19 @@ class BandedKernelPlan:
     xdist_down: jax.Array = None     # [R, Lxd, Cp]
     xdist_up: jax.Array = None
     res_dist: jax.Array = None       # [Rz]
+    # TWO-LEVEL lateral scan tables (work-efficient scan decomposition:
+    # 3 full-slab Hillis-Steele steps cover in-block spans <= 7, then the
+    # remaining levels run on the 8x-decimated block-boundary array and one
+    # combine step folds the prefix back). n_scan2 = boundary-level steps
+    # (0 = flat scan). The in-kernel scans are the VPU bottleneck of the
+    # whole solver; this trades 7 full-slab steps for 7 eighth-slab steps
+    # + extract/upsample shuffles.
+    n_scan2: int = 0
+    l2_fwd: jax.Array = None   # [R, S2, NB] chains between fwd boundaries
+    l2_bwd: jax.Array = None   # [R, S2, NB]
+    wback_fwd: jax.Array = None  # [R, Cp] chain from own block's left
+                                 # boundary (prev block's col 7) to c
+    wback_bwd: jax.Array = None  # [R, Cp] chain from next block's col 0 to c
 
 
 def _class_offsets(n: int) -> list[int]:
@@ -202,6 +216,29 @@ def _chain_weights(lat_fwd, lat_bwd, n_scan, xp=np):
     return xp.stack(a_fwd, axis=1), xp.stack(a_bwd, axis=1)   # [R, S, Cp]
 
 
+def _two_level_tables(a_fwd, a_bwd, n_scan: int, Cp: int, xp=np):
+    """Derive the boundary-level chain tables + back-fill prefix planes from
+    the full chain stack. Returns (n_scan2, l2f, l2b, wback_f, wback_b) —
+    all None/0 when the column count doesn't decompose into 8-blocks or the
+    chain stack is not full-depth."""
+    full = n_scan >= max(1, int(np.ceil(np.log2(max(Cp, 2)))))
+    if Cp % 8 or Cp < 64 or not full or n_scan <= 3:
+        return 0, None, None, None, None
+    NB = Cp // 8
+    S2 = n_scan - 3
+    # fwd boundaries at column 8j+7: chain level 3+t sampled there spans
+    # exactly 2^t boundary hops; bwd boundaries at column 8j
+    l2f = a_fwd[:, 3:, 7::8]
+    l2b = a_bwd[:, 3:, 0::8]
+    R = a_fwd.shape[0]
+    wf = xp.cumsum(a_fwd[:, 0, :].reshape(R, NB, 8), axis=-1).reshape(R, Cp)
+    ab0 = a_bwd[:, 0, :].reshape(R, NB, 8)
+    wb = xp.flip(
+        xp.cumsum(xp.flip(ab0, axis=-1), axis=-1), axis=-1
+    ).reshape(R, Cp)
+    return S2, l2f, l2b, wf, wb
+
+
 def build_banded_kernel_plan(
     mesh: MeshArrays,
     weights_vd,
@@ -267,6 +304,7 @@ def build_banded_kernel_plan(
     # inf too; on irregular meshes detours bridge broken row chains)
     lat_f_eff, lat_b_eff = _effective_laterals(lat_fwd, lat_bwd, down, up)
     a_fwd, a_bwd = _chain_weights(lat_f_eff, lat_b_eff, n_scan)   # [R, S, Cp]
+    n_scan2, l2f, l2b, wbf, wbb = _two_level_tables(a_fwd, a_bwd, n_scan, Cp)
 
     # residual: structural leftovers (edges outside the eight classes)
     rows, slots = np.nonzero(mask & ~covered)
@@ -409,6 +447,11 @@ def build_banded_kernel_plan(
         xdist_down=xstack_np(xdist_down_l),
         xdist_up=xstack_np(xdist_up_l),
         res_dist=jnp.asarray(res_dist),
+        n_scan2=n_scan2,
+        l2_fwd=None if l2f is None else jnp.asarray(l2f, jnp.float32),
+        l2_bwd=None if l2b is None else jnp.asarray(l2b, jnp.float32),
+        wback_fwd=None if wbf is None else jnp.asarray(wbf, jnp.float32),
+        wback_bwd=None if wbb is None else jnp.asarray(wbb, jnp.float32),
     )
 
 
@@ -440,6 +483,10 @@ def refresh_banded_planes(
     up = jnp.stack([plane(5), plane(6), plane(7)], axis=1)
     lat_f_eff, lat_b_eff = _effective_laterals(lat_fwd, lat_bwd, down, up, xp=jnp)
     a_fwd, a_bwd = _chain_weights(lat_f_eff, lat_b_eff, S, xp=jnp)
+    _, l2f, l2b, wbf, wbb = (
+        _two_level_tables(a_fwd, a_bwd, S, Cp, xp=jnp)
+        if plan.n_scan2 else (0, None, None, None, None)
+    )
 
     res_v = (plan.res_dst // Cp) * C + plan.res_dst % Cp
     res_w = jnp.where(
@@ -472,6 +519,7 @@ def refresh_banded_planes(
     return dataclasses.replace(
         plan, down=down, up=up, a_fwd=a_fwd, a_bwd=a_bwd, res_w=res_w,
         xdown=xdown, xup=xup, lat_fwd=lat_fwd, lat_bwd=lat_bwd,
+        l2_fwd=l2f, l2_bwd=l2b, wback_fwd=wbf, wback_bwd=wbb,
     )
 
 
@@ -528,6 +576,10 @@ def refresh_banded_planes_from_costs(
     )
     lf_eff, lb_eff = _effective_laterals(lat_fwd, lat_bwd, down, up, xp=jnp)
     a_fwd, a_bwd = _chain_weights(lf_eff, lb_eff, S, xp=jnp)
+    _, l2f, l2b, wbf, wbb = (
+        _two_level_tables(a_fwd, a_bwd, S, Cp, xp=jnp)
+        if plan.n_scan2 else (0, None, None, None, None)
+    )
 
     xdown = plan.xdown
     xup = plan.xup
@@ -563,6 +615,7 @@ def refresh_banded_planes_from_costs(
     return dataclasses.replace(
         plan, down=down, up=up, a_fwd=a_fwd, a_bwd=a_bwd, res_w=res_w,
         xdown=xdown, xup=xup, lat_fwd=lat_fwd, lat_bwd=lat_bwd,
+        l2_fwd=l2f, l2_bwd=l2b, wback_fwd=wbf, wback_bwd=wbb,
     )
 
 
@@ -578,9 +631,11 @@ def _shift_up(x: jax.Array, k: int) -> jax.Array:
 
 
 def _pass_kernel(
-    rb: int, n_scan: int, reverse: bool, atol: float, rtol: float,
-    skip: bool, force: bool, use_dirty: bool, xlanes: tuple,
-    dist_ref, cross_ref, af_ref, ab_ref, xcross_ref, dirty_in_ref,
+    rb: int, n_scan: int, n_scan2: int, reverse: bool, atol: float,
+    rtol: float, skip: bool, force: bool, use_dirty: bool, xlanes: tuple,
+    defer: bool,
+    dist_ref, cross_ref, af_ref, ab_ref, xcross_ref, l2f_ref, l2b_ref,
+    wback_ref, dirty_in_ref,
     out_ref, chg_ref, dirty_out_ref, prev_ref, prev2_ref,
 ):
     j = pl.program_id(0)
@@ -646,6 +701,51 @@ def _pass_kernel(
             # the fixed point is reached at any depth (span-1 is the ±1
             # edge relaxation itself; no scan improvement ⇒ lateral edges
             # satisfied ⇒ true lateral fixed point).
+            if n_scan2 > 0:
+                # TWO-LEVEL (work-efficient) full-depth scan: 3 full-slab
+                # steps (spans <= 7), then the remaining levels on the
+                # 8x-decimated block-boundary array, then one combine step
+                # folds the boundary prefix back into every column. Same
+                # min-plus coverage (every span 1..Cp-1 decomposes into
+                # in-block part + boundary chain) => identical fixed point,
+                # ~60% fewer full-slab VPU ops.
+                Cp_, bb_ = row.shape
+                NB = Cp_ // 8
+                for s in range(3):
+                    row = jnp.minimum(
+                        row, _shift_down(row, 1 << s) + af_ref[r, s, :][:, None]
+                    )
+                yb = row.reshape(NB, 8, bb_)[:, 7, :]        # [NB, bb]
+                for t in range(n_scan2):
+                    yb = jnp.minimum(
+                        yb,
+                        _shift_down(yb, 1 << t)
+                        + l2f_ref[r, t, :][:NB][:, None],
+                    )
+                zprev = _shift_down(yb, 1)
+                zup = jnp.broadcast_to(
+                    zprev[:, None, :], (NB, 8, bb_)
+                ).reshape(Cp_, bb_)
+                row = jnp.minimum(row, zup + wback_ref[r, 0, :][:, None])
+                # backward direction on the fwd-updated row (monotone 1D
+                # optimal paths => fwd-then-bwd covers all in-row chains)
+                for s in range(3):
+                    row = jnp.minimum(
+                        row, _shift_up(row, 1 << s) + ab_ref[r, s, :][:, None]
+                    )
+                yb = row.reshape(NB, 8, bb_)[:, 0, :]
+                for t in range(n_scan2):
+                    yb = jnp.minimum(
+                        yb,
+                        _shift_up(yb, 1 << t)
+                        + l2b_ref[r, t, :][:NB][:, None],
+                    )
+                znext = _shift_up(yb, 1)
+                zup = jnp.broadcast_to(
+                    znext[:, None, :], (NB, 8, bb_)
+                ).reshape(Cp_, bb_)
+                row = jnp.minimum(row, zup + wback_ref[r, 1, :][:, None])
+                return row
             for s in range(n_scan):
                 row = jnp.minimum(
                     row, _shift_down(row, 1 << s) + af_ref[r, s, :][:, None]
@@ -656,7 +756,34 @@ def _pass_kernel(
                 )
             return row
 
-        if skip:
+        if defer:
+            # scan-DEFERRING pass (scan_dirs="up"): apply only the cross
+            # relaxation and leave the row's lateral scan to the scanning
+            # pass of the same round, marking the row dirty so that pass
+            # cannot skip it. Halves the VPU-bound scan work per round —
+            # correctness unchanged because convergence still requires a
+            # full round with no improvement, and the scanning pass covers
+            # every lateral edge (scan step 0 is the ±1 edge relaxation).
+            need = imp
+            if force:
+                need |= jnp.any(row0 < jnp.inf)
+
+            @pl.when(need)
+            def _():
+                out_ref[r] = row0.astype(out_ref.dtype)
+
+            @pl.when(jnp.logical_not(need))
+            def _():
+                out_ref[r] = cur.astype(out_ref.dtype)
+
+            # preserve pending-dirty rows; add freshly-written ones
+            dirty_out_ref[j, row_base + r] = jnp.maximum(
+                dirty_in_ref[j, row_base + r], need.astype(jnp.int32)
+            )
+            changed |= imp
+            prev2 = prev
+            prev = out_ref[r].astype(jnp.float32)
+        elif skip:
             # A row needs re-scanning when the carried row improved it
             # (cross), when its own last scan was still improving (dirty —
             # partial scan depth), or when a residual scatter-min touched it
@@ -718,8 +845,8 @@ def _pass_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "reverse", "rb", "bb", "n_scan", "atol", "rtol", "interpret",
-        "skip", "force", "use_dirty", "xlanes",
+        "reverse", "rb", "bb", "n_scan", "n_scan2", "atol", "rtol",
+        "interpret", "skip", "force", "use_dirty", "xlanes", "defer",
     ),
 )
 def _directional_pass_pallas(
@@ -728,12 +855,16 @@ def _directional_pass_pallas(
     a_fwd: jax.Array,    # [S, Rp, Cp]
     a_bwd: jax.Array,    # [S, Rp, Cp]
     xcross: jax.Array,   # [Rp, Lx, Cp] extended-lane planes (dummy 1 lane ok)
+    l2f: jax.Array,      # [Rp, S2|1, NB|8] boundary chains (dummy if flat)
+    l2b: jax.Array,
+    wback: jax.Array,    # [Rp, 2, Cp]
     dirty: jax.Array,    # [n_j, Rp] i32 rows whose last scan still improved
     *,
     reverse: bool,
     rb: int,
     bb: int,
     n_scan: int,
+    n_scan2: int = 0,
     atol: float = 0.0,
     rtol: float = 0.0,
     interpret: bool = False,
@@ -741,10 +872,14 @@ def _directional_pass_pallas(
     force: bool = False,
     use_dirty: bool = True,
     xlanes: tuple = (),
+    defer: bool = False,
 ):
+    assert not defer or (skip and use_dirty), "defer requires skip+dirty"
     Rp, Cp, Bp = d.shape
     S = a_fwd.shape[1]
     Lx = xcross.shape[1]
+    S2 = l2f.shape[1]
+    NB = l2f.shape[2]
     n_i = Rp // rb
     n_j = Bp // bb
     dirty_shape = dirty.shape
@@ -765,8 +900,8 @@ def _directional_pass_pallas(
 
     out, chg, dirty_out = pl.pallas_call(
         functools.partial(
-            _pass_kernel, rb, n_scan, reverse, atol, rtol, skip, force,
-            use_dirty, xlanes,
+            _pass_kernel, rb, n_scan, n_scan2, reverse, atol, rtol, skip,
+            force, use_dirty, xlanes, defer,
         ),
         grid=(n_j, n_i),
         in_specs=[
@@ -775,6 +910,9 @@ def _directional_pass_pallas(
             pl.BlockSpec((rb, S, Cp), pmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, S, Cp), pmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, Lx, Cp), pmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, S2, NB), pmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, S2, NB), pmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 2, Cp), pmap, memory_space=pltpu.VMEM),
             pl.BlockSpec(dirty_shape, ymap, memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -791,10 +929,33 @@ def _directional_pass_pallas(
             pltpu.VMEM((Cp, bb), jnp.float32),
             pltpu.VMEM((Cp, bb), jnp.float32),
         ],
-        input_output_aliases={0: 0, 5: 2},
+        input_output_aliases={0: 0, 8: 2},
         interpret=interpret,
-    )(d, cross, a_fwd, a_bwd, xcross, dirty)
+    )(d, cross, a_fwd, a_bwd, xcross, l2f, l2b, wback, dirty)
     return out, chg[0, 0] > 0, dirty_out
+
+
+def _pick_pred_blocks(Rp: int, Cp: int, *, dtype=jnp.float32):
+    """Block sizes for the predecessor kernel. Its VMEM model differs from
+    the sweep kernel's: ~14 [Cp, bb] temporaries (no 16-deep scan stack),
+    but THREE double-buffered input streams of the field (center rows +
+    up/dn halo rows) plus the w8 planes and the (int8) output. rb=4 fits at
+    Cp=1024 and halves the halo re-read factor vs the sweep picker's rb=2."""
+    bb = 128
+    itemsize = jnp.dtype(dtype).itemsize
+    temps = 14 * Cp * bb * 4
+    for rb in (8, 4, 2, 1):
+        if Rp % rb:
+            continue
+        streams = (
+            2 * rb * Cp * bb * itemsize      # center in, double-buffered
+            + 2 * 2 * Cp * bb * itemsize     # up + dn halo rows
+            + 2 * rb * 8 * Cp * 4            # w8 planes
+            + 2 * rb * Cp * bb               # int8 out
+        )
+        if streams + temps <= (15 << 20):
+            return rb, bb
+    return 1, bb
 
 
 def _pick_blocks(Cp: int, *, vmem_total: int = 15 << 20, dtype=jnp.float32,
@@ -907,6 +1068,9 @@ class PaddedProblem(NamedTuple):
     bb: int
     xdown: jax.Array = None   # [Rp, Lxd, Cp] extended-lane planes
     xup: jax.Array = None     # [Rp, Lxu, Cp]
+    l2_fwd: jax.Array = None   # [Rp, S2, NB] boundary-level chains
+    l2_bwd: jax.Array = None
+    wback: jax.Array = None    # [Rp, 2, Cp] (fwd, bwd) back-fill prefixes
 
 
 def prepare_padded(
@@ -939,6 +1103,21 @@ def prepare_padded(
     flat_pad = rows * Cp + cols
     d0 = jnp.full((Rp * Cp, Bp), INF, dtype)
     d0 = d0.at[flat_pad, jnp.arange(B)].set(0.0)
+    if plan.n_scan2:
+        NB = Cp // 8
+        NBp = _round_up(NB, 128)   # Mosaic-friendly minor dim
+        l2f = pad_rows(jnp.pad(
+            plan.l2_fwd, ((0, 0), (0, 0), (0, NBp - NB)), constant_values=INF
+        ))
+        l2b = pad_rows(jnp.pad(
+            plan.l2_bwd, ((0, 0), (0, 0), (0, NBp - NB)), constant_values=INF
+        ))
+        wback = pad_rows(
+            jnp.stack([plan.wback_fwd, plan.wback_bwd], axis=1)
+        )
+    else:
+        l2f = l2b = jnp.full((Rp, 1, 128), INF, jnp.float32)
+        wback = jnp.full((Rp, 2, Cp), INF, jnp.float32)
     return PaddedProblem(
         d0=d0.reshape(Rp, Cp, Bp),
         down=pad_rows(plan.down),
@@ -949,6 +1128,9 @@ def prepare_padded(
         bb=bb,
         xdown=pad_rows(plan.xdown),
         xup=pad_rows(plan.xup),
+        l2_fwd=l2f,
+        l2_bwd=l2b,
+        wback=wback,
     )
 
 
@@ -981,6 +1163,11 @@ def banded_solve_padded(
     scan_steps: int = 0,
     four_dir: bool | None = None,
     plan_t: "BandedKernelPlan | None" = None,
+    scan_dirs: str = "both",
+    converge: str = "round",
+    warm_d: jax.Array | None = None,
+    warm_changed: jax.Array | None = None,
+    warm_pos: jax.Array | None = None,
 ) -> BandedPaddedResult:
     """Run banded GS rounds to convergence, returning the padded field.
 
@@ -1002,6 +1189,17 @@ def banded_solve_padded(
     the dirty-row mechanism (rows whose scan still improved re-scan next
     pass), and residual scatter improvements likewise mark their rows dirty —
     so the row-skip fast path is valid for ANY depth and ANY residual count.
+
+    `scan_dirs` picks which directional passes run the lateral scans:
+    "both" (default) or "up" (the down pass applies only the cross
+    relaxation and defers each written row's lateral scan to the same
+    round's up pass via the dirty table). "up" halves the scan count per
+    round but was MEASURED LOSING at 1M x 1024: 959 ms / 12 rounds vs
+    226 ms / 3 rounds — the down pass's scan-after-each-carried-row is what
+    lets a wavefront descend AND spread in a single pass (2D Gauss-Seidel
+    compounding); deferring the scans serializes that into one
+    row-of-progress per round. Kept as an option because the trade could
+    flip on tall-thin bands (R >> C). Convergence is sound either way.
     """
     B = seeds.shape[0]
     C, Cp = plan.n_cols, plan.n_cols_pad
@@ -1019,13 +1217,20 @@ def banded_solve_padded(
         prob = prepare_padded(plan, seeds, rb=2, bb=8, dtype=dtype)
     else:
         prob = prepare_padded(plan, seeds, dtype=dtype)
-    d0, down, up, a_fwd, a_bwd, rb, bb, xdown, xup = prob
+    (d0, down, up, a_fwd, a_bwd, rb, bb, xdown, xup,
+     l2f, l2b, wback) = prob
     Rp, _, Bp = d0.shape
     n_j = Bp // bb
     if scan_steps and scan_steps < plan.n_scan:
         a_fwd = a_fwd[:, :scan_steps]
         a_bwd = a_bwd[:, :scan_steps]
     n_scan = a_fwd.shape[1]
+    # two-level scan only at full depth (partial depth already truncates)
+    n_scan2 = plan.n_scan2 if n_scan >= plan.n_scan else 0
+    if n_scan2:
+        a_fwd = a_fwd[:, :3]
+        a_bwd = a_bwd[:, :3]
+        n_scan = 3
 
     has_residual = plan.n_residual > 0
     skip = True if skip_rows is None else skip_rows
@@ -1036,12 +1241,15 @@ def banded_solve_padded(
         # 285 ms at rtol 3e-3). Kept as an opt-in strategy.
         four_dir = False
     # dirty machinery only pays its way when a scanned row can fail to reach
-    # its lateral fixed point (partial depth) or be invalidated from outside
-    # (residual scatter / a transposed-direction pass). The headline
-    # full-depth residual-free grid path compiles with a (1, 1) dummy table
-    # and zero dirty overhead.
+    # its lateral fixed point (partial depth), be invalidated from outside
+    # (residual scatter / a transposed-direction pass), or carry a DEFERRED
+    # scan from a scan-free down pass (scan_dirs="up").
+    warm = warm_d is not None
+    defer_down = scan_dirs == "up" and skip
     full_depth = n_scan >= max(1, int(np.ceil(np.log2(max(C, 2)))))
-    use_dirty = skip and (has_residual or not full_depth or four_dir)
+    use_dirty = skip and (
+        has_residual or not full_depth or four_dir or defer_down or warm
+    )
 
     res_rows = plan.res_dst // Cp            # [Rz] padded-grid row of each dst
     res_cols = plan.res_dst % Cp
@@ -1077,18 +1285,27 @@ def banded_solve_padded(
             a_fwd_t = a_fwd_t[:, :scan_steps]
             a_bwd_t = a_bwd_t[:, :scan_steps]
         n_scan_t = a_fwd_t.shape[1]
+        l2f_t = l2b_t = jnp.full((Ctp, 1, 128), INF, jnp.float32)
+        wback_t = jnp.full((Ctp, 2, Rp), INF, jnp.float32)
 
     def one_round(d, dirty, dirty_t, force=False):
         d_round_start = d
         d, chg_dn, dirty = _directional_pass_pallas(
-            d, down, a_fwd, a_bwd, xdown, dirty, reverse=False, rb=rb, bb=bb,
-            n_scan=n_scan, atol=atol, rtol=rtol, interpret=interpret,
+            d, down,
+            a_fwd[:, :1] if defer_down else a_fwd,
+            a_bwd[:, :1] if defer_down else a_bwd,
+            xdown, l2f, l2b, wback, dirty, reverse=False, rb=rb, bb=bb,
+            n_scan=0 if defer_down else n_scan,
+            n_scan2=0 if defer_down else n_scan2,
+            atol=atol, rtol=rtol, interpret=interpret,
             skip=skip, force=force, use_dirty=use_dirty,
-            xlanes=plan.xlanes_down,
+            xlanes=plan.xlanes_down, defer=defer_down,
         )
         d, chg_up, dirty = _directional_pass_pallas(
-            d, up, a_fwd, a_bwd, xup, dirty, reverse=True, rb=rb, bb=bb,
-            n_scan=n_scan, atol=atol, rtol=rtol, interpret=interpret,
+            d, up, a_fwd, a_bwd, xup, l2f, l2b, wback, dirty,
+            reverse=True, rb=rb, bb=bb,
+            n_scan=n_scan, n_scan2=n_scan2,
+            atol=atol, rtol=rtol, interpret=interpret,
             skip=skip, use_dirty=use_dirty, xlanes=plan.xlanes_up,
         )
         changed = chg_dn | chg_up
@@ -1117,14 +1334,16 @@ def banded_solve_padded(
                 )
             dt_before = dt
             dt, chg_l, dirty_t = _directional_pass_pallas(
-                dt, down_t, a_fwd_t, a_bwd_t, xdown_t, dirty_t,
+                dt, down_t, a_fwd_t, a_bwd_t, xdown_t, l2f_t, l2b_t,
+                wback_t, dirty_t,
                 reverse=False, rb=rb_t, bb=bb_t, n_scan=n_scan_t,
                 atol=atol, rtol=rtol, interpret=interpret,
                 skip=skip, force=force, use_dirty=use_dirty,
                 xlanes=pt.xlanes_down,
             )
             dt, chg_r, dirty_t = _directional_pass_pallas(
-                dt, up_t, a_fwd_t, a_bwd_t, xup_t, dirty_t,
+                dt, up_t, a_fwd_t, a_bwd_t, xup_t, l2f_t, l2b_t,
+                wback_t, dirty_t,
                 reverse=True, rb=rb_t, bb=bb_t, n_scan=n_scan_t,
                 atol=atol, rtol=rtol, interpret=interpret,
                 skip=skip, use_dirty=use_dirty, xlanes=pt.xlanes_up,
@@ -1165,20 +1384,207 @@ def banded_solve_padded(
     def cond(carry):
         return carry[4] & (carry[3] < max_rounds)
 
+    dirty0 = jnp.zeros((n_j, Rp) if use_dirty else (1, 1), jnp.int32)
+    dirty0_t = jnp.zeros(
+        (n_j_t, Ctp) if (four_dir and use_dirty) else (1, 1), jnp.int32
+    )
+    if warm:
+        # INCREMENTAL RESOLVE (changed-region replan,
+        # mesh_map.cpp:563-618 / layer_manager.cpp:202-263 semantics):
+        # warm-start from the previous converged field. Weight RAISES can
+        # strand stale-low labels, so invalidate every label that could have
+        # routed through a changed edge: any affected label satisfies
+        # d_prev[x] >= d_prev[u] for some changed-edge endpoint u (labels
+        # increase along shortest paths), hence >= the per-lane min of
+        # d_prev over the dilated changed set. Labels below that threshold
+        # are EXACT under the new weights and are kept; the rest re-solve
+        # from the intact frontier. Weight DROPS propagate by ordinary
+        # relaxation from the dirty-seeded changed rows. The "check"
+        # convergence certificate then verifies every edge of the final
+        # field, so the warm start cannot silently under-solve.
+        assert converge == "check", "warm resolve requires converge='check'"
+        mask = _dilate_changed(plan, warm_changed)
+        mask_p = jnp.pad(
+            mask, ((0, Rp - mask.shape[0]), (0, 0)), constant_values=False
+        )
+        wd32 = warm_d.astype(jnp.float32)
+        thresh = jnp.min(
+            jnp.where(mask_p[:, :, None], wd32, INF), axis=(0, 1)
+        )                                                    # [Bp]
+        # the previous solve is only tolerance-exact, so shave the
+        # threshold by the tolerance envelope — over-invalidation costs a
+        # little re-solve work, under-invalidation would leave labels up to
+        # ~rtol below their new true distance (invisible to the check,
+        # which only certifies labels from above)
+        thresh = thresh * (1.0 - 2.0 * rtol) - 2.0 * atol
+        cut = thresh[None, None, :]
+        if warm_pos is not None:
+            # geodesic-SHADOW refinement: an affected label's old path
+            # entered the changed set at some u, so d_prev[x] >=
+            # d_prev[u] + geo(u, x) >= thresh + |x - c| - r_enc for the
+            # changed set's bounding sphere (c, r_enc) — the global
+            # threshold alone invalidates the whole far field (warm
+            # resolve MEASURED 99 ms vs 68 cold at 1M without this; the
+            # shadow bound restricts re-solving to the cone behind the
+            # obstacle)
+            chm = mask_p
+            pos = jnp.pad(
+                warm_pos,
+                ((0, 0), (0, Rp - warm_pos.shape[1]), (0, 0)),
+                constant_values=INF,
+            ) if warm_pos.shape[1] < Rp else warm_pos        # [3, Rp, Cp]
+            n_ch = jnp.maximum(chm.sum(), 1)
+            ctr = (
+                jnp.sum(jnp.where(chm[None], pos, 0.0), axis=(1, 2)) / n_ch
+            )                                                # [3]
+            dc = jnp.sqrt(
+                jnp.sum((pos - ctr[:, None, None]) ** 2, axis=0)
+            )                                                # [Rp, Cp]
+            r_enc = jnp.max(jnp.where(chm, dc, 0.0))
+            lb = jnp.maximum(dc - r_enc, 0.0)
+            cut = cut + lb[:, :, None]
+        d_start = jnp.where(wd32 >= cut, INF, warm_d).astype(d0.dtype)
+        # re-seed (a seed inside the changed disc is invalidated above)
+        rows_s = seeds // C
+        cols_s = seeds % C
+        d_start = d_start.reshape(Rp * Cp, Bp).at[
+            rows_s * Cp + cols_s, jnp.arange(B)
+        ].set(0.0).reshape(Rp, Cp, Bp)
+        row_dirty = mask_p.any(axis=1)
+        row_dirty = row_dirty.at[rows_s].set(True)
+        dirty0 = jnp.broadcast_to(
+            row_dirty[None, :].astype(jnp.int32), (n_j, Rp)
+        )
+        d1, dirty1, dirty1_t, chg0 = one_round(d_start, dirty0, dirty0_t)
+    else:
+        d1, dirty1, dirty1_t, chg0 = one_round(d0, dirty0, dirty0_t, force=True)
+
+    if converge == "check":
+        # fixed-point certificate instead of a confirmation round — the
+        # loop runs exactly the rounds that change labels, and the final
+        # field carries a per-EDGE optimality proof. MEASURED SLOWER than
+        # "round" on the 1M headline (272 vs 226 ms: the read-only check is
+        # VPU-bound like every stencil here, ~40 ms vs the ~38 ms confirm
+        # round it replaces, and it runs twice) — kept as the certificate
+        # mode for the incremental warm resolve, where the certificate
+        # guards the invalidation logic and rounds are few. Requires a
+        # POSITIVE tolerance: at atol=rtol=0 a 1-ulp difference between a
+        # chain-weight write and the check's single-edge recomputation can
+        # flag a "violation" on a row the skip machinery will never rescan
+        # (the field is at the true fixed point; the certificate is
+        # ulp-strict), live-locking the loop.
+        assert atol > 0 or rtol > 0, "converge='check' needs tolerance > 0"
+        def body_c(carry):
+            d, dirty, dirty_t, it, _ = carry
+            d, dirty, dirty_t, _ = one_round(d, dirty, dirty_t)
+            ok = check_converged_banded(
+                plan, d, atol=atol, rtol=rtol, interpret=interpret
+            )
+            return d, dirty, dirty_t, it + 1, ~ok
+
+        viol0 = ~check_converged_banded(
+            plan, d1, atol=atol, rtol=rtol, interpret=interpret
+        )
+        d, _, _, rounds, viol = jax.lax.while_loop(
+            cond, body_c, (d1, dirty1, dirty1_t, jnp.int32(1), viol0)
+        )
+        return BandedPaddedResult(d_pad=d, rounds=rounds, converged=~viol)
+
     def body(carry):
         d, dirty, dirty_t, it, _ = carry
         new, dirty, dirty_t, changed = one_round(d, dirty, dirty_t)
         return new, dirty, dirty_t, it + 1, changed
 
-    dirty0 = jnp.zeros((n_j, Rp) if use_dirty else (1, 1), jnp.int32)
-    dirty0_t = jnp.zeros(
-        (n_j_t, Ctp) if (four_dir and use_dirty) else (1, 1), jnp.int32
-    )
-    d1, dirty1, dirty1_t, chg0 = one_round(d0, dirty0, dirty0_t, force=True)
     d, _, _, rounds, changed = jax.lax.while_loop(
         cond, body, (d1, dirty1, dirty1_t, jnp.int32(1), chg0)
     )
     return BandedPaddedResult(d_pad=d, rounds=rounds, converged=~changed)
+
+
+def group_lanes(goal_v: jax.Array, num_vertices: int, n_buckets: int = 128):
+    """Stable bucket-grouping permutation by quantized goal id — the cheap
+    stand-in for `argsort(goal_v)` on the light path.
+
+    The solve only needs NEIGHBORING wavefronts grouped into the same
+    128-lane batch block (so the active-row skip prunes whole blocks); with
+    B lanes uniform over R rows, grouping into n_buckets >= B/8 id-quantile
+    buckets yields the same ~R*128/B row span per block as a true sort, and
+    it is pure dense VPU work (one-hot + cumsum + scatter) instead of an XLA
+    sort — measured 6.9 ms -> ~0.2 ms at B=1024.
+
+    Returns (order, inv): `x[order]` groups robot lanes; `y[inv]` restores
+    robot order from grouped outputs."""
+    B = goal_v.shape[0]
+    bucket_w = max(1, -(-num_vertices // n_buckets))   # static ceil-div
+    q = jnp.clip(goal_v // bucket_w, 0, n_buckets - 1).astype(jnp.int32)
+    oh = jax.nn.one_hot(q, n_buckets, dtype=jnp.int32)        # [B, nb]
+    rank = jnp.take_along_axis(
+        jnp.cumsum(oh, axis=0), q[:, None], axis=1
+    )[:, 0] - 1                                               # rank within bucket
+    start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(oh.sum(axis=0))[:-1].astype(jnp.int32)]
+    )
+    inv = start[q] + rank                                     # dest slot of lane i
+    order = jnp.zeros(B, jnp.int32).at[inv].set(jnp.arange(B, dtype=jnp.int32))
+    return order, inv
+
+
+def position_planes(plan: BandedKernelPlan, mesh: MeshArrays) -> jax.Array:
+    """[3, R, Cp] vertex-position planes (padding = +inf) — static geometry
+    used by the warm resolve's shadow bound."""
+    R, C, Cp, V = plan.n_rows, plan.n_cols, plan.n_cols_pad, plan.num_vertices
+    out = []
+    for k in range(3):
+        p = jnp.full(R * C, INF, jnp.float32).at[:V].set(mesh.vertices[:, k])
+        out.append(
+            jnp.pad(p.reshape(R, C), ((0, 0), (0, Cp - C)), constant_values=INF)
+        )
+    return jnp.stack(out)
+
+
+def changed_plane_from_costs(
+    plan: BandedKernelPlan, old_costs: jax.Array, new_costs: jax.Array
+) -> jax.Array:
+    """[R, Cp] bool plane of vertices whose cost changed — the input to
+    banded_resolve_padded (the changed-vertex set of
+    mesh_map.cpp:563-618 / layer_manager.cpp:202-263, as a dense plane)."""
+    R, C, Cp, V = plan.n_rows, plan.n_cols, plan.n_cols_pad, plan.num_vertices
+    ch = jnp.zeros(R * C, bool).at[:V].set(
+        ~((old_costs == new_costs) | (jnp.isnan(old_costs) & jnp.isnan(new_costs)))
+    )
+    return jnp.pad(
+        ch.reshape(R, C), ((0, 0), (0, Cp - C)), constant_values=False
+    )
+
+
+def _dilate_changed(plan: BandedKernelPlan, changed_rc: jax.Array) -> jax.Array:
+    """Dilate the changed-vertex plane to cover every endpoint of every
+    weight-changed edge: dense classes and extended lanes reach (|dr| <= 2,
+    |dc| <= 4); residual endpoints are handled exactly via the res lists."""
+    def shift_b(x, dr, dc):   # bool shift, False fill
+        R, C = x.shape
+        out = jnp.zeros_like(x)
+        rs = slice(max(dr, 0), R + min(dr, 0))
+        rd = slice(max(-dr, 0), R + min(-dr, 0))
+        cs = slice(max(dc, 0), C + min(dc, 0))
+        cd = slice(max(-dc, 0), C + min(-dc, 0))
+        return out.at[rd, cd].set(x[rs, cs])
+
+    m = changed_rc
+    acc = m
+    for dr in (-2, -1, 1, 2):
+        acc = acc | shift_b(m, dr, 0)
+    m = acc
+    for dc in (-4, -3, -2, -1, 1, 2, 3, 4):
+        acc = acc | shift_b(m, 0, dc)
+    if plan.n_residual:
+        flat = acc.reshape(-1)
+        ch_flat = changed_rc.reshape(-1)
+        touched = ch_flat[plan.res_src] | ch_flat[plan.res_dst]
+        flat = flat.at[plan.res_src].max(touched)
+        flat = flat.at[plan.res_dst].max(touched)
+        acc = flat.reshape(changed_rc.shape)
+    return acc
 
 
 def _inbound_tables(plan: BandedKernelPlan):
@@ -1311,6 +1717,135 @@ def _predecessors_pallas_padded(
     return pred
 
 
+def _check_kernel(
+    rb: int, atol: float, rtol: float,
+    dist_ref,    # [rb, Cp, bb] center rows
+    up_ref,      # [1, Cp, bb] row above the block
+    dn_ref,      # [1, Cp, bb] row below the block
+    w8_ref,      # [rb, 8, Cp] in-edge weight planes
+    viol_ref,    # [1, 1] SMEM: any supra-tolerance violation
+):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        viol_ref[0, 0] = jnp.int32(0)
+
+    viol = jnp.bool_(False)
+    for r in range(rb):
+        cur = dist_ref[r].astype(jnp.float32)
+        up_row = (dist_ref[r - 1] if r > 0 else up_ref[0]).astype(jnp.float32)
+        dn_row = (dist_ref[r + 1] if r + 1 < rb else dn_ref[0]).astype(
+            jnp.float32
+        )
+        srcs = (
+            _shift_down(cur, 1), _shift_up(cur, 1),
+            _shift_down(up_row, 1), up_row, _shift_up(up_row, 1),
+            _shift_down(dn_row, 1), dn_row, _shift_up(dn_row, 1),
+        )
+        best = jnp.full(cur.shape, INF, jnp.float32)
+        for k in range(8):
+            best = jnp.minimum(best, srcs[k] + w8_ref[r, k, :][:, None])
+        viol |= jnp.any(best * (1.0 + rtol) + atol < cur)
+    viol_ref[0, 0] |= viol.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rb", "bb", "atol", "rtol", "interpret")
+)
+def _check_pallas_padded(
+    d: jax.Array,        # [Rp, Cp, Bp]
+    w8: jax.Array,       # [Rp, 8, Cp]
+    *,
+    rb: int,
+    bb: int,
+    atol: float,
+    rtol: float,
+    interpret: bool = False,
+):
+    Rp, Cp, Bp = d.shape
+    viol = pl.pallas_call(
+        functools.partial(_check_kernel, rb, atol, rtol),
+        grid=(Bp // bb, Rp // rb),
+        in_specs=[
+            pl.BlockSpec((rb, Cp, bb), lambda j, i: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp, bb),
+                         lambda j, i, rb=rb: (jnp.maximum(i * rb - 1, 0), 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp, bb),
+                         lambda j, i, rb=rb, last=Rp - 1: (
+                             jnp.minimum((i + 1) * rb, last), 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8, Cp), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        interpret=interpret,
+    )(d, d, d, w8)
+    return viol[0, 0] > 0
+
+
+def _w8_planes(plan: BandedKernelPlan, Rp: int) -> jax.Array:
+    """[Rp, 8, Cp] in-edge weight planes in _class_offsets order."""
+    def pad_rows(p):
+        return jnp.pad(
+            p, [(0, Rp - plan.n_rows)] + [(0, 0)] * (p.ndim - 1),
+            constant_values=INF,
+        )
+
+    return jnp.stack(
+        [
+            pad_rows(plan.lat_fwd),
+            pad_rows(plan.lat_bwd),
+            pad_rows(plan.down[:, 0, :]),
+            pad_rows(plan.down[:, 1, :]),
+            pad_rows(plan.down[:, 2, :]),
+            pad_rows(plan.up[:, 0, :]),
+            pad_rows(plan.up[:, 1, :]),
+            pad_rows(plan.up[:, 2, :]),
+        ],
+        axis=1,
+    )
+
+
+def check_converged_banded(
+    plan: BandedKernelPlan,
+    d_pad: jax.Array,        # [Rp, Cp, Bp]
+    *,
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """READ-ONLY fixed-point certificate: True iff every in-edge relaxation
+    (eight banded classes + residual list — i.e. every edge of the mesh)
+    is satisfied within tolerance. Replaces the solver's confirmation round
+    (2 full read+write passes) with one ~1.5x-field read — the direct
+    statement of the Dijkstra fixed point instead of its "a round changed
+    nothing" proxy."""
+    if interpret is None:
+        interpret = not pallas_available()
+    Rp, Cp, Bp = d_pad.shape
+    w8 = _w8_planes(plan, Rp)
+    if interpret:
+        rb, bb = 2, Bp
+    else:
+        rb, bb = _pick_pred_blocks(Rp, Cp, dtype=d_pad.dtype)
+    viol = _check_pallas_padded(
+        d_pad, w8, rb=rb, bb=bb, atol=atol, rtol=rtol, interpret=interpret
+    )
+    if plan.n_residual:
+        dflat = d_pad.reshape(Rp * Cp, Bp).astype(jnp.float32)
+        cand = dflat[plan.res_src] + plan.res_w[:, None]
+        viol |= jnp.any(
+            cand * (1.0 + rtol) + atol < dflat[plan.res_dst]
+        )
+    return ~viol
+
+
 def predecessors_banded_pallas(
     plan: BandedKernelPlan,
     d_pad: jax.Array,        # [Rp, Cp, Bp] converged padded field
@@ -1351,7 +1886,7 @@ def predecessors_banded_pallas(
     if interpret:
         rb, bb = 2, d_pad.shape[2]
     else:
-        rb, bb = _pick_blocks(Cp, dtype=d_pad.dtype)
+        rb, bb = _pick_pred_blocks(Rp, Cp, dtype=d_pad.dtype)
     pred = _predecessors_pallas_padded(
         d_pad, w8, C=C, rb=rb, bb=bb, tol=tol, interpret=interpret
     )
@@ -1421,7 +1956,7 @@ def predecessors_banded_classes(
     if interpret:
         rb, bb = 2, d_pad.shape[2]
     else:
-        rb, bb = _pick_blocks(Cp, dtype=d_pad.dtype)
+        rb, bb = _pick_pred_blocks(Rp, Cp, dtype=d_pad.dtype)
     cls = _predecessors_pallas_padded(
         d_pad, w8, C=C, rb=rb, bb=bb, tol=tol, interpret=interpret,
         as_class=True,
@@ -1435,39 +1970,112 @@ def extract_paths_cls(
     goal_v: jax.Array,       # [B]
     max_len: int,
     C: int,
+    *,
+    k_steps: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
-    """extract_paths_vb over a class table: each step gathers one int8 per
-    lane and decodes the next REAL id as v + delta[class]. Same early-exit
-    chunking; class 8 terminates (pred == self)."""
+    """extract_paths_vb over a class table, `k_steps` walk steps per gather.
+
+    k_steps=1 (default): one int8 gather per lane per step. k_steps=K>1
+    gathers the (2K+1)^2 class PATCH around the current vertex and decodes
+    K hops in-register via one-hot selects — MEASURED SLOWER at 1M x 1024
+    (213 ms K=1-patch / 376 ms K=3 vs 31 ms plain): XLA's scalar-gather
+    cost scales with gathered ELEMENTS, not dispatches, so trading 1
+    gathered byte/lane/step for (2K+1)^2/K is a loss. Kept because the
+    trade flips for meshes small enough to sit in cache. Decode: next id =
+    v + delta[class]; class 8 terminates (pred == self)."""
     B = start_v.shape[0]
     lane = jnp.arange(B, dtype=jnp.int32)
-    delta = jnp.asarray(
-        [-1, 1, -C - 1, -C, -C + 1, C - 1, C, C + 1, 0], jnp.int32
-    )
-    chunk = 256
-    n_chunks = -(-max_len // chunk)
-    L = n_chunks * chunk
+    K = max(1, k_steps)
+    if K == 1:
+        # plain chase: one int8 point-gather per lane per step
+        delta1 = jnp.asarray(
+            [-1, 1, -C - 1, -C, -C + 1, C - 1, C, C + 1, 0], jnp.int32
+        )
+        chunk = 256
+        n_chunks = -(-max_len // chunk)
+        L1 = n_chunks * chunk
 
-    def step(carry, _):
+        def step1(carry, _):
+            v, alive = carry
+            k = cls_vb[v, lane].astype(jnp.int32)
+            nxt = v + delta1[k]
+            reached_end = (v == goal_v) | (k == 8)
+            new_alive = alive & ~reached_end
+            return (jnp.where(new_alive, nxt, v), new_alive), (v, alive)
+
+        def body1(carry):
+            v, alive, j, path, valid = carry
+            (v, alive), (p_c, a_c) = jax.lax.scan(
+                step1, (v, alive), None, length=chunk
+            )
+            path = jax.lax.dynamic_update_slice_in_dim(path, p_c, j * chunk, 0)
+            valid = jax.lax.dynamic_update_slice_in_dim(valid, a_c, j * chunk, 0)
+            return v, alive, j + 1, path, valid
+
+        def cond1(carry):
+            v, alive, j, _, _ = carry
+            return jnp.any(alive) & (j < n_chunks)
+
+        path0 = jnp.broadcast_to(start_v[None, :], (L1, B))
+        valid0 = jnp.zeros((L1, B), bool)
+        v, alive, _, path, valid = jax.lax.while_loop(
+            cond1, body1,
+            (start_v, jnp.ones(B, bool), jnp.int32(0), path0, valid0),
+        )
+        fill = jnp.where(valid, path, v[None, :])
+        return fill[:max_len].T, valid[:max_len].T
+    W = 2 * K + 1
+    # real-id and patch-index offsets of the 9 decode classes
+    dr9 = jnp.asarray([0, 0, -1, -1, -1, 1, 1, 1, 0], jnp.int32)
+    dc9 = jnp.asarray([-1, 1, -1, 0, 1, -1, 0, 1, 0], jnp.int32)
+    delta = dr9 * C + dc9
+    pdelta = dr9 * W + dc9
+    # patch gather offsets (row-major over the (2K+1)^2 window)
+    pr = jnp.arange(-K, K + 1, dtype=jnp.int32)
+    offs = (pr[:, None] * C + pr[None, :]).reshape(-1)        # [W*W]
+    Vtot = cls_vb.shape[0]
+    center = jnp.int32(K * W + K)
+    patch_iota = jnp.arange(W * W, dtype=jnp.int32)[:, None]  # [W*W, 1]
+
+    sup_chunk = max(1, 256 // K)
+    n_sup = -(-max_len // (K * sup_chunk))
+    L = n_sup * sup_chunk * K
+
+    def super_step(carry, _):
         v, alive = carry
-        k = cls_vb[v, lane].astype(jnp.int32)
-        nxt = v + delta[k]
-        reached_end = (v == goal_v) | (k == 8)
-        new_alive = alive & ~reached_end
-        return (jnp.where(new_alive, nxt, v), new_alive), (v, alive)
+        idx = jnp.clip(v[None, :] + offs[:, None], 0, Vtot - 1)   # [W*W, B]
+        patch = cls_vb[idx, lane[None, :]].astype(jnp.int32)      # [W*W, B]
+        pos = jnp.broadcast_to(center, (B,))
+        outs_v = []
+        outs_a = []
+        for _s in range(K):
+            # class at the current patch position: dense one-hot select
+            k = jnp.sum(
+                jnp.where(patch_iota == pos[None, :], patch, 0), axis=0
+            )
+            outs_v.append(v)
+            outs_a.append(alive)
+            reached_end = (v == goal_v) | (k == 8)
+            new_alive = alive & ~reached_end
+            v = jnp.where(new_alive, v + delta[k], v)
+            pos = jnp.where(new_alive, pos + pdelta[k], pos)
+            alive = new_alive
+        return (v, alive), (jnp.stack(outs_v), jnp.stack(outs_a))
 
     def body(carry):
-        v, alive, k, path, valid = carry
+        v, alive, j, path, valid = carry
         (v, alive), (p_c, a_c) = jax.lax.scan(
-            step, (v, alive), None, length=chunk
-        )
-        path = jax.lax.dynamic_update_slice_in_dim(path, p_c, k * chunk, 0)
-        valid = jax.lax.dynamic_update_slice_in_dim(valid, a_c, k * chunk, 0)
-        return v, alive, k + 1, path, valid
+            super_step, (v, alive), None, length=sup_chunk
+        )                                      # [sup_chunk, K, B]
+        p_c = p_c.reshape(sup_chunk * K, B)
+        a_c = a_c.reshape(sup_chunk * K, B)
+        path = jax.lax.dynamic_update_slice_in_dim(path, p_c, j * sup_chunk * K, 0)
+        valid = jax.lax.dynamic_update_slice_in_dim(valid, a_c, j * sup_chunk * K, 0)
+        return v, alive, j + 1, path, valid
 
     def cond(carry):
-        v, alive, k, _, _ = carry
-        return jnp.any(alive) & (k < n_chunks)
+        v, alive, j, _, _ = carry
+        return jnp.any(alive) & (j < n_sup)
 
     path0 = jnp.broadcast_to(start_v[None, :], (L, B))
     valid0 = jnp.zeros((L, B), bool)
@@ -1535,6 +2143,7 @@ def pred_at_vertices(
     tol: float = 1e-5,
     lane_minor: bool = False,
     lane_map: jax.Array | None = None,  # [B] column per robot (lane_minor)
+    padded_flat: bool = False,
 ) -> jax.Array:
     """On-the-fly predecessor lookup for a handful of vertices per lane —
     pred[v] = argmin_u dist[u] + w(u, v) over the eight banded classes
@@ -1547,9 +2156,11 @@ def pred_at_vertices(
     (175 ms -> microseconds at 1M x 256).
 
     lane_minor=True reads the solver's native [V, B] layout directly — no
-    [B, V] transpose of the 1 GB potential ever materializes. lane_map
-    remaps robots to solver lanes when the solve ran in sorted-goal order
-    (PlanResult.lane_map)."""
+    [B, V] transpose of the 1 GB potential ever materializes; padded_flat
+    additionally takes the RAW padded field ([Rp*Cp, Bp] — d_pad
+    reshaped), so not even the [V, B] slice-copy of the field is built.
+    lane_map remaps robots to solver lanes when the solve ran in
+    sorted-goal order (PlanResult.lane_map)."""
     B, K = vids.shape
     V = plan.num_vertices
     W8, offs = _inbound_tables(plan)
@@ -1560,7 +2171,10 @@ def pred_at_vertices(
     lane = lane[:, None]                                   # [B, 1]
     u = vids[None, :, :] + offs[:, None, None]             # [8, B, K]
     u_cl = jnp.clip(u, 0, V - 1)
-    if lane_minor:
+    if padded_flat:
+        du = dist_bv[_to_padded_flat(plan, u_cl), lane[None]]
+        dv = dist_bv[_to_padded_flat(plan, vids), lane]
+    elif lane_minor:
         du = dist_bv[u_cl, lane[None]]                     # [8, B, K]
         dv = dist_bv[vids, lane]
     else:
@@ -1593,7 +2207,9 @@ def pred_at_vertices(
         srcp = rs[idx_cl]                                  # padded flat ids
         src_real = (srcp // Cp) * C + srcp % Cp
         src_real = jnp.clip(src_real, 0, V - 1)
-        if lane_minor:
+        if padded_flat:
+            du_r = dist_bv[srcp, lane[..., None]]          # [B, K, P]
+        elif lane_minor:
             du_r = dist_bv[src_real, lane[..., None]]      # [B, K, P]
         else:
             du_r = dist_bv[lane[..., None], src_real]

@@ -32,6 +32,11 @@ class PlanResult(NamedTuple):
     # sorted-goal order; potential_vb keeps that order).
     potential_vb: jax.Array | None = None   # [V, B] f32, solver lane order
     lane_map: jax.Array | None = None       # [B] i32 column of robot b
+    # solver-native padded field [Rp, Cp, Bp] (banded light path only) —
+    # feed it back as `warm_d` for the incremental changed-region resolve.
+    # Unused fields are dead-code-eliminated when this result is produced
+    # inside an enclosing jit.
+    d_pad: jax.Array | None = None
 
 
 def pose_chain(

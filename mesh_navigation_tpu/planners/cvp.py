@@ -268,9 +268,7 @@ class CVPPlanner:
         V = kernel_plan.num_vertices
         dist = res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].T     # [B, V]
 
-        start_v = jax.vmap(
-            lambda p: query.nearest_vertex(mesh, self.grid, p)[0]
-        )(starts)
+        start_v = query.nearest_vertex_batch(mesh, self.grid, starts)[0]
         lane = jnp.arange(B)
         seed_mask = jnp.zeros((B, V), bool).at[lane[:, None], g_vids].set(True)
         path, valid = _pe.cvp_descend_paths(
@@ -292,7 +290,12 @@ class CVPPlanner:
             path_positions=positions,
             path_quats=quats,
             path_valid=valid & reached[:, None],
-            cost=jnp.where(reached, dist[lane, start_v], jnp.inf),
+            # cost = WALKED path cost (summed segment lengths over the
+            # descended chain, same contract as the Dijkstra path and the
+            # reference's returned plan cost), not the potential at the
+            # start vertex — the two differ when the descent terminates
+            # early or the tolerance reroutes a hop
+            cost=jnp.where(reached, cost, jnp.inf),
             potential=dist,
             vector_map=None,
             pred=None,

@@ -124,8 +124,8 @@ class DijkstraPlanner:
         from mesh_navigation_tpu.ops import ordered as _ordered
 
         mesh = self.mesh
-        start_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(starts)
-        goal_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(goals)
+        start_v = query.nearest_vertex_batch(mesh, self.grid, starts)[0]
+        goal_v = query.nearest_vertex_batch(mesh, self.grid, goals)[0]
         field = _ordered.batched_field_hybrid(
             mesh, weights_vd, self.sweep_plan, goal_v,
             ordered_rounds=self.config.ordered_rounds,
@@ -183,6 +183,7 @@ class DijkstraPlanner:
         scan_steps: int = 0,
         atol: float = 1e-5,
         rtol: float = 1e-5,
+        grid: "query.SpatialGrid | None" = None,
     ) -> PlanResult:
         """Batch planning via banded GS fast sweeping (ops/pallas_banded.py)
         — the fastest path on band-structured meshes: O(path winding) rounds
@@ -200,8 +201,14 @@ class DijkstraPlanner:
         from mesh_navigation_tpu.ops import pallas_banded as _pb
 
         mesh = self.mesh
-        start_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(starts)
-        goal_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(goals)
+        # `grid` as an ARGUMENT keeps the dense snap cell tables (~100 MB at
+        # 1M) out of the serialized HLO — closure constants of a
+        # static-self jit get baked in, which the remote-compile transport
+        # rejects (HTTP 413)
+        if grid is None:
+            grid = self.grid
+        start_v = query.nearest_vertex_batch(mesh, grid, starts)[0]
+        goal_v = query.nearest_vertex_batch(mesh, grid, goals)[0]
         max_rounds = max(self.config.max_sweeps // 2, 64)
         if not light:
             field = _pb.batched_field_banded_pallas(
@@ -213,14 +220,15 @@ class DijkstraPlanner:
                 field.dist, field.pred, start_v, goal_v
             )
 
-        # Sort scenarios by goal vertex (row-major id => by mesh row): the
+        # Group scenarios by goal vertex (row-major id => by mesh row): the
         # kernel's 128-lane batch blocks then hold NEIGHBORING wavefronts,
         # so the active-row skip prunes whole blocks instead of being
-        # defeated by one far-away lane per block. Outputs are un-permuted
-        # at the end — callers never see the sorted order.
+        # defeated by one far-away lane per block. Bucket grouping (not a
+        # full sort — see group_lanes) gives the same block row span for a
+        # fraction of the cost. Outputs are un-permuted at the end —
+        # callers never see the grouped order.
         B = start_v.shape[0]
-        order = jnp.argsort(goal_v)
-        inv = jnp.argsort(order)
+        order, inv = _pb.group_lanes(goal_v, mesh.num_vertices)
         goal_s = goal_v[order]
         start_s = start_v[order]
 
@@ -250,12 +258,24 @@ class DijkstraPlanner:
             path, valid = _pb.extract_paths_vb(
                 pred_vb, start_s, goal_s, self.max_path_len
             )                                               # [B, L] sorted
-        positions = mesh.vertices[path]
-        quats, cost = jax.vmap(pose_chain)(
-            positions, valid, mesh.vertex_normals[path]
+        # one gather of fused [V, 6] position+normal rows instead of two
+        # 12-byte-row gathers — the pose stage is gather-row bound (the
+        # concat is rebuilt in-jit so no extra 25 MB constant ships in the
+        # serialized HLO)
+        pos_normals = jnp.concatenate(
+            [mesh.vertices, mesh.vertex_normals], axis=1
         )
+        pn = pos_normals[path]
+        positions = pn[..., :3]
+        quats, cost = jax.vmap(pose_chain)(positions, valid, pn[..., 3:])
+        # read reachability from the raw padded field so the light path
+        # never forces the [V, B] potential_vb copy to materialize
+        Cp = kernel_plan.n_cols_pad
         reached = jnp.isfinite(
-            potential_vb[start_s, jnp.arange(B, dtype=jnp.int32)]
+            res.d_pad.reshape(-1, res.d_pad.shape[-1])[
+                (start_s // C) * Cp + start_s % C,
+                jnp.arange(B, dtype=jnp.int32),
+            ]
         )
         outcome = jnp.where(
             reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND
@@ -271,6 +291,7 @@ class DijkstraPlanner:
             pred=None,
             potential_vb=potential_vb,
             lane_map=inv,
+            d_pad=res.d_pad,
         )
 
     def prepare_offset_plan(self, weights_vd: jax.Array):
@@ -293,8 +314,8 @@ class DijkstraPlanner:
         from mesh_navigation_tpu.ops import structured as _structured
 
         mesh = self.mesh
-        start_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(starts)
-        goal_v = jax.vmap(lambda p: query.nearest_vertex(mesh, self.grid, p)[0])(goals)
+        start_v = query.nearest_vertex_batch(mesh, self.grid, starts)[0]
+        goal_v = query.nearest_vertex_batch(mesh, self.grid, goals)[0]
         field = _structured.batched_field_structured(
             mesh, weights_vd, offset_plan, goal_v,
             block_sweeps=max(self.config.block_sweeps, 16),

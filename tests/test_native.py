@@ -88,3 +88,25 @@ def test_native_radius_neighborhood(pair):
         ball = set(np.flatnonzero((d <= 2.0))) - {v}
         assert got <= ball
         assert len(got) > 0
+
+
+def test_native_cvp_matches_python_oracle(pair):
+    mn, _ = pair
+    rng = np.random.default_rng(5)
+    costs = rng.uniform(0, 0.5, mn.num_vertices).astype(np.float32)
+    ew = np.asarray(sweeps.compute_edge_weights(mn, jnp.asarray(costs), 1.0))
+    nm = native.NativeMesh(np.asarray(mn.vertices), np.asarray(mn.faces))
+    tb = nm.tables()
+    seeds = np.asarray([3, 4, 20], np.int32)
+    sd = np.asarray([0.0, 0.4, 0.25], np.float32)
+    dn, pn, thn = nm.cvp(ew, costs, seeds, sd, 2.0)
+    vf = oracle.mesh_vertex_faces(mn)
+    do, po, tho, _ = oracle.cvp_oracle(
+        tb["faces"], tb["face_edges"], vf, ew.astype(np.float64), costs,
+        list(seeds), list(sd), 2.0,
+    )
+    fin = np.isfinite(do)
+    assert (np.isfinite(dn) == fin).all()
+    np.testing.assert_allclose(dn[fin], do[fin], rtol=1e-5, atol=1e-5)
+    assert (pn == po).mean() > 0.999
+    np.testing.assert_allclose(thn, tho, rtol=1e-4, atol=1e-5)

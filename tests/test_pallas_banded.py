@@ -483,3 +483,92 @@ def test_refresh_from_costs_irregular():
             np.asarray(getattr(via_table, name)),
             rtol=1e-6, atol=1e-6, err_msg=name,
         )
+
+
+def test_warm_resolve_matches_cold():
+    """Incremental changed-region resolve (warm_d/warm_changed): raise a
+    cost disc, warm-resolve from the previous field, and match the cold
+    solve on the refreshed planes exactly; then clear the disc (weight
+    DROP) and warm-resolve back."""
+    import jax
+
+    m = _terrain16()
+    rng = np.random.default_rng(11)
+    costs = rng.uniform(0.0, 0.4, m.num_vertices).astype(np.float32)
+    ew0, W0 = _weights(m, costs)
+    plan0 = pallas_banded.build_banded_kernel_plan(m, W0)
+    seeds = jnp.asarray([3, 100, 200], jnp.int32)
+    TOL = dict(atol=1e-6, rtol=1e-6)
+    res0 = pallas_banded.banded_solve_padded(plan0, seeds, **TOL)
+    assert bool(res0.converged)
+
+    # raise: lethal disc around vertex 120
+    pos = np.asarray(m.vertices)
+    d2 = np.sum((pos[:, :2] - pos[120, :2]) ** 2, axis=1)
+    costs2 = np.where(d2 < 1.0, np.inf, costs).astype(np.float32)
+    plan2 = pallas_banded.refresh_banded_planes_from_costs(
+        plan0, jnp.asarray(costs2), edge_cost_factor=1.0, cost_limit=1.0
+    )
+    changed = pallas_banded.changed_plane_from_costs(
+        plan0, jnp.asarray(costs), jnp.asarray(costs2)
+    )
+    warm = pallas_banded.banded_solve_padded(
+        plan2, seeds, **TOL, warm_d=res0.d_pad, warm_changed=changed,
+        warm_pos=pallas_banded.position_planes(plan2, m),
+        converge="check",
+    )
+    cold = pallas_banded.banded_solve_padded(plan2, seeds, **TOL)
+    assert bool(warm.converged) and bool(cold.converged)
+    np.testing.assert_allclose(
+        np.asarray(warm.d_pad), np.asarray(cold.d_pad), rtol=1e-4, atol=1e-5
+    )
+
+    # drop: clear the disc again -> labels must come back DOWN to res0
+    changed_back = pallas_banded.changed_plane_from_costs(
+        plan0, jnp.asarray(costs2), jnp.asarray(costs)
+    )
+    back = pallas_banded.banded_solve_padded(
+        plan0, seeds, **TOL, warm_d=warm.d_pad, warm_changed=changed_back,
+        converge="check",
+    )
+    assert bool(back.converged)
+    np.testing.assert_allclose(
+        np.asarray(back.d_pad), np.asarray(res0.d_pad), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_two_level_scan_matches_flat():
+    """At Cp >= 64 the plan builds two-level scan tables (n_scan2 > 0);
+    the decimated boundary scan must produce the same fixed point as the
+    flat Hillis-Steele (scan_steps=full via a plan with tables stripped)."""
+    import dataclasses as _dc
+
+    v, f = synthetic.terrain_mesh(
+        64, 64, spacing=0.5, hills=1.5, roughness=0.03, seed=6
+    )
+    m = build_mesh(v, f)
+    rng = np.random.default_rng(3)
+    costs = rng.uniform(0.0, 0.5, m.num_vertices).astype(np.float32)
+    ew, W = _weights(m, costs)
+    plan = pallas_banded.build_banded_kernel_plan(m, W)
+    assert plan.n_scan2 > 0
+    seeds = jnp.asarray([5, 1000, 4000], jnp.int32)
+    res2 = pallas_banded.banded_solve_padded(plan, seeds, atol=0.0, rtol=0.0)
+    plan_flat = _dc.replace(
+        plan, n_scan2=0, l2_fwd=None, l2_bwd=None,
+        wback_fwd=None, wback_bwd=None,
+    )
+    res1 = pallas_banded.banded_solve_padded(
+        plan_flat, seeds, atol=0.0, rtol=0.0
+    )
+    assert bool(res2.converged) and bool(res1.converged)
+    d1 = np.asarray(res1.d_pad)
+    d2 = np.asarray(res2.d_pad)
+    fin = np.isfinite(d1)
+    assert (np.isfinite(d2) == fin).all()
+    np.testing.assert_allclose(d2[fin], d1[fin], rtol=1e-6, atol=1e-6)
+    # and against the oracle on one lane
+    od = _oracle(m, ew, costs, 1000)
+    got = d2[:, : plan.n_cols, 1].reshape(-1)[: m.num_vertices]
+    ofin = np.isfinite(od)
+    np.testing.assert_allclose(got[ofin], od[ofin], rtol=1e-5, atol=1e-5)
