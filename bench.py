@@ -488,11 +488,10 @@ def main():
         # irregular meshes: refinement rounds dominate (zigzag geodesics);
         # stopping tolerance trades rounds for path-cost error inside the
         # BASELINE 1% budget (measured at 1M: rtol 1e-3 -> 0.34% / 188
-        # solves/s; 3e-3 -> 1.12% / 395; 2e-3 sits under the budget)
-        # the residual int32 pred table + field at B=1024 exceed HBM on an
-        # irregular plan (161k residuals); 256 lanes is the measured sweet
-        # spot within 16 GB
-        b_irr = min(batch, 256)
+        # solves/s; 3e-3 -> 1.12% / 395; 2e-3 sits under the budget).
+        # int8 class preds + the compact residual slot table (r4) cut the
+        # pred footprint 4x, so the full lane batch fits in HBM again
+        b_irr = batch
         pipe_i = build_pipeline(
             mesh_i, mesh_n, b_irr, dtype, scan_steps, "irregular",
             atol=1e-3, rtol=2e-3,

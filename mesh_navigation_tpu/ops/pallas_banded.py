@@ -60,10 +60,12 @@ def _round_up(x: int, m: int) -> int:
         "lat_fwd", "lat_bwd", "dist_lat_fwd", "dist_lat_bwd", "dist_down",
         "dist_up", "xdist_down", "xdist_up", "res_dist",
         "l2_fwd", "l2_bwd", "wback_fwd", "wback_bwd",
+        "res_row_map", "res_jump", "res_order", "res_entry_row",
+        "res_entry_slot",
     ),
     meta_fields=(
         "n_rows", "n_cols", "n_cols_pad", "n_scan", "coverage", "num_vertices",
-        "n_residual", "xlanes_down", "xlanes_up", "n_scan2",
+        "n_residual", "xlanes_down", "xlanes_up", "n_scan2", "n_res_dst",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -142,6 +144,20 @@ class BandedKernelPlan:
     # + extract/upsample shuffles.
     n_scan2: int = 0
     l2_fwd: jax.Array = None   # [R, S2, NB] chains between fwd boundaries
+    # residual-dst CSR (static structure; weights looked up via res_w):
+    # row_map[v] = row into the per-dst tables (-1 = v has no residual
+    # in-edge); jump[row, slot] = REAL src id; entry_row/entry_slot place
+    # each res_* entry (in res_order order) into its (row, slot) cell —
+    # up to 8 slots per dst (same probe bound as pred_at_vertices). This
+    # is what lets the light path keep int8 class preds on residual
+    # (irregular) meshes: class 9 = "follow my residual slot" decoded by
+    # extract_paths_cls through jump, instead of a 4x-larger int32 table.
+    n_res_dst: int = 0
+    res_row_map: jax.Array = None    # [V] i32
+    res_jump: jax.Array = None       # [NDp, 8] i32 REAL src ids
+    res_order: jax.Array = None      # [Rz] i32 dst-sort order of res entries
+    res_entry_row: jax.Array = None  # [Rz] i32 (-1 = padded/overflow entry)
+    res_entry_slot: jax.Array = None # [Rz] i32
     l2_bwd: jax.Array = None   # [R, S2, NB]
     wback_fwd: jax.Array = None  # [R, Cp] chain from own block's left
                                  # boundary (prev block's col 7) to c
@@ -415,6 +431,37 @@ def build_banded_kernel_plan(
             return jnp.asarray(np.stack(planes, axis=1), jnp.float32)
         return jnp.full((R, 1, Cp), np.inf, jnp.float32)
 
+    # residual-dst CSR + jump table (int8-class pred encoding on residual
+    # meshes): sort entries by dst, cap at 8 slots per dst
+    n_real = len(rows)
+    res_order_np = np.argsort(res_dst[:n_real], kind="stable")
+    res_order_np = np.concatenate(
+        [res_order_np, np.arange(n_real, Rz)]
+    ).astype(np.int32)
+    sorted_dst = res_dst[res_order_np[:n_real]]
+    uniq_dst, start_idx = np.unique(sorted_dst, return_index=True)
+    n_res_dst = len(uniq_dst)
+    NDp = max(8, n_res_dst)
+    row_map_np = np.full(V, -1, np.int32)
+    uniq_real = (uniq_dst // Cp) * n + uniq_dst % Cp
+    row_map_np[uniq_real] = np.arange(n_res_dst, dtype=np.int32)
+    entry_row = np.full(Rz, -1, np.int32)
+    entry_slot = np.zeros(Rz, np.int32)
+    if n_real:
+        rows_of_sorted = np.searchsorted(uniq_dst, sorted_dst).astype(np.int32)
+        slots_of_sorted = (np.arange(n_real) - start_idx[rows_of_sorted]).astype(np.int32)
+        ok_slot = slots_of_sorted < 8
+        entry_row[:n_real] = np.where(ok_slot, rows_of_sorted, -1)
+        entry_slot[:n_real] = np.where(ok_slot, slots_of_sorted, 0)
+    jump_np = np.zeros((NDp, 8), np.int32)
+    if n_real:
+        srcs_sorted = res_src[res_order_np[:n_real]]
+        src_real_sorted = (srcs_sorted // Cp) * n + srcs_sorted % Cp
+        ok = entry_row[:n_real] >= 0
+        jump_np[entry_row[:n_real][ok], entry_slot[:n_real][ok]] = (
+            src_real_sorted[ok]
+        )
+
     return BandedKernelPlan(
         n_rows=R,
         n_cols=n,
@@ -452,6 +499,12 @@ def build_banded_kernel_plan(
         l2_bwd=None if l2b is None else jnp.asarray(l2b, jnp.float32),
         wback_fwd=None if wbf is None else jnp.asarray(wbf, jnp.float32),
         wback_bwd=None if wbb is None else jnp.asarray(wbb, jnp.float32),
+        n_res_dst=int(n_res_dst),
+        res_row_map=jnp.asarray(row_map_np),
+        res_jump=jnp.asarray(jump_np),
+        res_order=jnp.asarray(res_order_np),
+        res_entry_row=jnp.asarray(entry_row),
+        res_entry_slot=jnp.asarray(entry_slot),
     )
 
 
@@ -1148,6 +1201,10 @@ class BandedPaddedResult(NamedTuple):
     d_pad: jax.Array      # [Rp, Cp, Bp]
     rounds: jax.Array
     converged: jax.Array
+    # converge="pred" only: int8 class-predecessor table [V, Bp] — the
+    # convergence certificate IS the pred recovery, so the table comes out
+    # of the solve for free (no separate pred pass)
+    cls: jax.Array | None = None
 
 
 def banded_solve_padded(
@@ -1459,6 +1516,45 @@ def banded_solve_padded(
     else:
         d1, dirty1, dirty1_t, chg0 = one_round(d0, dirty0, dirty0_t, force=True)
 
+    if converge == "pred":
+        # the int8 class-pred kernel doubles as the fixed-point certificate
+        # (its `best` IS the tightest in-edge relaxation): the loop runs
+        # exactly the label-changing rounds and the terminating certificate
+        # pass EMITS the predecessor table — solve+pred in one budget
+        # (measured 1M x 1024: 167 solve + 43 pred -> ~160 combined when
+        # rtol ends the loop after round 1). Residual-free plans only
+        # (class tables cannot represent residual predecessors); same
+        # positive-tolerance requirement as converge="check".
+        assert plan.n_residual == 0, "converge='pred' needs n_residual == 0"
+        assert not four_dir, "converge='pred' excludes four_dir"
+        assert atol > 0 or rtol > 0, "converge='pred' needs tolerance > 0"
+        pred_tol = max(atol, 3.0 * rtol)
+
+        def classes_ok(d):
+            return predecessors_banded_classes(
+                plan, d, tol=pred_tol, interpret=interpret,
+                check=(atol, rtol),
+            )
+
+        cls1, ok1 = classes_ok(d1)
+
+        def body_p(carry):
+            d, dirty, dirty_t, it, _, _ = carry
+            d, dirty, dirty_t, _ = one_round(d, dirty, dirty_t)
+            cls, ok = classes_ok(d)
+            return d, dirty, dirty_t, it + 1, ~ok, cls
+
+        def cond_p(carry):
+            return carry[4] & (carry[3] < max_rounds)
+
+        d, _, _, rounds, viol, cls = jax.lax.while_loop(
+            cond_p, body_p,
+            (d1, dirty1, dirty1_t, jnp.int32(1), ~ok1, cls1),
+        )
+        return BandedPaddedResult(
+            d_pad=d, rounds=rounds, converged=~viol, cls=cls
+        )
+
     if converge == "check":
         # fixed-point certificate instead of a confirmation round — the
         # loop runs exactly the rounds that change labels, and the final
@@ -1619,7 +1715,7 @@ def _to_padded_flat(plan: BandedKernelPlan, v: jax.Array) -> jax.Array:
 
 
 def _pred_kernel(
-    rb: int, C: int, tol: float, as_class: bool,
+    rb: int, C: int, tol: float, as_class: bool, check,
     dist_ref,    # [rb, Cp, bb] center rows
     up_ref,      # [1, Cp, bb] row above the block (clamped at the top)
     dn_ref,      # [1, Cp, bb] row below the block (clamped at the bottom)
@@ -1627,8 +1723,17 @@ def _pred_kernel(
                  # blocked trailing dims are (8, Cp) — Mosaic full-dim rule)
     pred_ref,    # [rb, Cp, bb] out: REAL-id predecessor (i32), or the
                  # winning class index 0..7 / 8 = self (i8, as_class=True)
+    *check_refs,  # ([1, 1] SMEM viol flag) when check=(atol, rtol)
 ):
+    j = pl.program_id(0)
     i = pl.program_id(1)
+    if check is not None:
+        viol_ref = check_refs[0]
+
+        @pl.when((j == 0) & (i == 0))
+        def _():
+            viol_ref[0, 0] = jnp.int32(0)
+    viol = jnp.bool_(False)
     Cp, bb = dist_ref.shape[1], dist_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (Cp, bb), 0)
     # real flat id of each destination element (pad columns c >= C emit
@@ -1663,6 +1768,13 @@ def _pred_kernel(
                 take, jnp.int32(k if as_class else off_real[k]), rel
             )
         has = (best <= cur * (1.0 + tol) + tol) & (cur > 0) & jnp.isfinite(cur)
+        if check is not None:
+            # the pred pass doubles as the fixed-point certificate: best
+            # already holds the tightest in-edge relaxation, so the
+            # convergence check is two extra VPU ops — fusing it here saves
+            # the solver a whole confirmation round (or a separate check
+            # pass) per solve
+            viol |= jnp.any(best * (1.0 + check[1]) + check[0] < cur)
         if as_class:
             # 4x less HBM than the int32 id table — the [V, B] pred write
             # is bandwidth-bound, so classes cut the pred stage ~4x; the
@@ -1671,10 +1783,14 @@ def _pred_kernel(
         else:
             self_real = ((i * rb + r) * C + col).astype(jnp.int32)
             pred_ref[r] = self_real + jnp.where(has, rel, 0)
+    if check is not None:
+        viol_ref[0, 0] |= viol.astype(jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "rb", "bb", "tol", "interpret", "as_class")
+    jax.jit, static_argnames=(
+        "C", "rb", "bb", "tol", "interpret", "as_class", "check",
+    )
 )
 def _predecessors_pallas_padded(
     d: jax.Array,        # [Rp, Cp, Bp] converged field
@@ -1686,13 +1802,27 @@ def _predecessors_pallas_padded(
     tol: float,
     interpret: bool = False,
     as_class: bool = False,
+    check: tuple | None = None,   # (atol, rtol) -> also emit a viol flag
 ):
     Rp, Cp, Bp = d.shape
     n_i = Rp // rb
     n_j = Bp // bb
 
-    pred = pl.pallas_call(
-        functools.partial(_pred_kernel, rb, C, tol, as_class),
+    out_specs = [
+        pl.BlockSpec((rb, Cp, bb), lambda j, i: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Rp, Cp, Bp), jnp.int8 if as_class else jnp.int32),
+    ]
+    if check is not None:
+        out_specs.append(
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+
+    outs = pl.pallas_call(
+        functools.partial(_pred_kernel, rb, C, tol, as_class, check),
         grid=(n_j, n_i),
         in_specs=[
             pl.BlockSpec((rb, Cp, bb), lambda j, i: (i, 0, j),
@@ -1707,14 +1837,14 @@ def _predecessors_pallas_padded(
             pl.BlockSpec((rb, 8, Cp), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rb, Cp, bb), lambda j, i: (i, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (Rp, Cp, Bp), jnp.int8 if as_class else jnp.int32
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(d, d, d, w8)
-    return pred
+    if check is not None:
+        pred, viol = outs
+        return pred, viol[0, 0] > 0
+    return outs[0]
 
 
 def _check_kernel(
@@ -1920,7 +2050,8 @@ def predecessors_banded_classes(
     *,
     tol: float = 1e-5,
     interpret: bool | None = None,
-) -> jax.Array:
+    check: tuple | None = None,   # (atol, rtol): also return the converged flag
+):
     """predecessors_banded_pallas, but the [V, Bp] table holds the winning
     in-edge CLASS (int8, 0..7 in _pred_kernel's off_real order, 8 = self)
     instead of the int32 vertex id — 4x less HBM on the bandwidth-bound
@@ -1957,11 +2088,73 @@ def predecessors_banded_classes(
         rb, bb = 2, d_pad.shape[2]
     else:
         rb, bb = _pick_pred_blocks(Rp, Cp, dtype=d_pad.dtype)
+    if check is not None:
+        cls, viol = _predecessors_pallas_padded(
+            d_pad, w8, C=C, rb=rb, bb=bb, tol=tol, interpret=interpret,
+            as_class=True, check=check,
+        )
+        return cls[:R, :C, :].reshape(R * C, Bp)[:V], ~viol
     cls = _predecessors_pallas_padded(
         d_pad, w8, C=C, rb=rb, bb=bb, tol=tol, interpret=interpret,
         as_class=True,
     )
     return cls[:R, :C, :].reshape(R * C, Bp)[:V]
+
+
+def predecessors_banded_classes_residual(
+    plan: BandedKernelPlan,
+    d_pad: jax.Array,        # [Rp, Cp, Bp] converged padded field
+    *,
+    tol: float = 1e-5,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """int8 class-pred recovery on RESIDUAL (irregular) plans: the Pallas
+    kernel fills classes 0..8, then a residual reconcile pass upgrades
+    dsts whose label is explained only by a residual in-edge to class 9
+    and records the winning CSR slot in a compact [n_res_dst, Bp] int8
+    table (extract_paths_cls decodes 9 through plan.res_jump). Replaces
+    the int32 predecessors_banded_pallas table: 4 GB -> 1 GB + ~n_res/V
+    at 1M x 1024, which is what frees the irregular light path to run the
+    full 1024-lane batch.
+    Returns (cls_vb [V, Bp] i8, res_choice [NDp, Bp] i8)."""
+    if interpret is None:
+        interpret = not pallas_available()
+    Rp, Cp, Bp = d_pad.shape
+    R, C, V = plan.n_rows, plan.n_cols, plan.num_vertices
+    w8 = _w8_planes(plan, Rp)
+    if interpret:
+        rb, bb = 2, Bp
+    else:
+        rb, bb = _pick_pred_blocks(Rp, Cp, dtype=d_pad.dtype)
+    cls = _predecessors_pallas_padded(
+        d_pad, w8, C=C, rb=rb, bb=bb, tol=tol, interpret=interpret,
+        as_class=True,
+    )
+    cls_vb = cls[:R, :C, :].reshape(R * C, Bp)[:V]
+    NDp = plan.res_jump.shape[0]
+    dflat = d_pad.reshape(Rp * Cp, Bp).astype(jnp.float32)
+    cand = dflat[plan.res_src] + plan.res_w[:, None]          # [Rz, Bp]
+    dv = dflat[plan.res_dst]
+    explains = (
+        (cand <= dv * (1.0 + tol) + tol) & (dv > 0) & jnp.isfinite(cand)
+        & (plan.res_entry_row >= 0)[:, None]
+    )
+    # any explaining slot is a valid pred (tolerance-argmin contract);
+    # scatter-max picks the highest-numbered one deterministically
+    choice = jnp.full((NDp, Bp), -1, jnp.int32)
+    choice = choice.at[jnp.maximum(plan.res_entry_row, 0)].max(
+        jnp.where(explains, plan.res_entry_slot[:, None], -1)
+    )
+    has_res = choice >= 0                                     # [NDp, Bp]
+    # upgrade cls to 9 where the kernel found no class pred but a residual
+    # edge explains the label — only residual dsts can change
+    rowm = plan.res_row_map                                   # [V]
+    is_dst = rowm >= 0
+    res_explains_v = has_res[jnp.maximum(rowm, 0)] & is_dst[:, None]
+    cls_vb = jnp.where((cls_vb == 8) & res_explains_v, 9, cls_vb).astype(
+        jnp.int8
+    )
+    return cls_vb, choice.astype(jnp.int8)
 
 
 def extract_paths_cls(
@@ -1972,8 +2165,16 @@ def extract_paths_cls(
     C: int,
     *,
     k_steps: int = 1,
+    res_row_map: jax.Array | None = None,   # [V] i32 (residual decode)
+    res_jump: jax.Array | None = None,      # [NDp, 8] i32
+    res_choice: jax.Array | None = None,    # [NDp, B] i8
 ) -> tuple[jax.Array, jax.Array]:
     """extract_paths_vb over a class table, `k_steps` walk steps per gather.
+
+    With the residual tables (predecessors_banded_classes_residual), class
+    9 decodes through the jump table: next = res_jump[res_row_map[v],
+    res_choice[row, lane]] — three extra point-gathers per step, only paid
+    on residual (irregular) plans.
 
     k_steps=1 (default): one int8 gather per lane per step. k_steps=K>1
     gathers the (2K+1)^2 class PATCH around the current vertex and decodes
@@ -1986,19 +2187,30 @@ def extract_paths_cls(
     B = start_v.shape[0]
     lane = jnp.arange(B, dtype=jnp.int32)
     K = max(1, k_steps)
+    residual = res_row_map is not None
+    if residual:
+        assert K == 1, "residual decode only on the plain (K=1) chase"
     if K == 1:
         # plain chase: one int8 point-gather per lane per step
         delta1 = jnp.asarray(
-            [-1, 1, -C - 1, -C, -C + 1, C - 1, C, C + 1, 0], jnp.int32
+            [-1, 1, -C - 1, -C, -C + 1, C - 1, C, C + 1, 0, 0], jnp.int32
         )
         chunk = 256
         n_chunks = -(-max_len // chunk)
         L1 = n_chunks * chunk
+        if residual:
+            NDc = res_jump.shape[0] - 1
 
         def step1(carry, _):
             v, alive = carry
             k = cls_vb[v, lane].astype(jnp.int32)
             nxt = v + delta1[k]
+            if residual:
+                row = jnp.clip(res_row_map[v], 0, NDc)
+                slot = jnp.clip(
+                    res_choice[row, lane].astype(jnp.int32), 0, 7
+                )
+                nxt = jnp.where(k == 9, res_jump[row, slot], nxt)
             reached_end = (v == goal_v) | (k == 8)
             new_alive = alive & ~reached_end
             return (jnp.where(new_alive, nxt, v), new_alive), (v, alive)

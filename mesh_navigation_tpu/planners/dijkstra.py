@@ -232,9 +232,16 @@ class DijkstraPlanner:
         goal_s = goal_v[order]
         start_s = start_v[order]
 
+        tol = 1e-2 if dtype == jnp.bfloat16 else max(1e-5, 3.0 * rtol)
+        use_pred_conv = (
+            kernel_plan.n_residual == 0
+            and dtype != jnp.bfloat16
+            and (atol > 0 or rtol > 0)
+        )
         res = _pb.banded_solve_padded(
             kernel_plan, goal_s, max_rounds=max_rounds, dtype=dtype,
             scan_steps=scan_steps, atol=atol, rtol=rtol,
+            converge="pred" if use_pred_conv else "round",
         )
         R, C = kernel_plan.n_rows, kernel_plan.n_cols
         V = kernel_plan.num_vertices
@@ -242,21 +249,31 @@ class DijkstraPlanner:
             res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].astype(jnp.float32)
         )                                                   # [V, B] sorted
         potential = potential_vb.T                          # [B, V] sorted
-        tol = 1e-2 if dtype == jnp.bfloat16 else max(1e-5, 3.0 * rtol)
         if kernel_plan.n_residual == 0:
-            # int8 class table + decode-as-you-walk: 4x less pred HBM
-            cls_vb = _pb.predecessors_banded_classes(
-                kernel_plan, res.d_pad, tol=tol
-            )[:, :B]
+            # int8 class table + decode-as-you-walk: 4x less pred HBM; with
+            # converge="pred" the table came out of the solve's certificate
+            # pass for free
+            if use_pred_conv:
+                cls_vb = res.cls[:, :B]
+            else:
+                cls_vb = _pb.predecessors_banded_classes(
+                    kernel_plan, res.d_pad, tol=tol
+                )[:, :B]
             path, valid = _pb.extract_paths_cls(
                 cls_vb, start_s, goal_s, self.max_path_len, C
             )                                               # [B, L] sorted
         else:
-            pred_vb = _pb.predecessors_banded_pallas(
+            # irregular (residual) meshes: int8 classes + compact residual
+            # slot table — 4x less pred HBM than the int32 id table, which
+            # frees the lanes for the full batch
+            cls_vb, res_choice = _pb.predecessors_banded_classes_residual(
                 kernel_plan, res.d_pad, tol=tol
-            )[:, :B]
-            path, valid = _pb.extract_paths_vb(
-                pred_vb, start_s, goal_s, self.max_path_len
+            )
+            path, valid = _pb.extract_paths_cls(
+                cls_vb[:, :B], start_s, goal_s, self.max_path_len, C,
+                res_row_map=kernel_plan.res_row_map,
+                res_jump=kernel_plan.res_jump,
+                res_choice=res_choice[:, :B],
             )                                               # [B, L] sorted
         # one gather of fused [V, 6] position+normal rows instead of two
         # 12-byte-row gathers — the pose stage is gather-row bound (the
