@@ -323,47 +323,75 @@ def main():
         log(f"# [gbps] stage failed: {e!r}")
 
     # ------------------------------------------------------------------
-    # replan cascade: device-side cost update -> plane refresh -> re-solve
+    # replan cascade — the REAL §3.5 change path, one jit per update:
+    # point cloud -> obstacle raycast -> inflation wavefront (banded
+    # Sethian) -> max combination -> edge-weight plane refresh ->
+    # INCREMENTAL warm-started field solve
     # (layer_manager.cpp:202-263 fan-out; BASELINE configs[2]/[4] 50 Hz)
     # ------------------------------------------------------------------
     if do_replan and stage_ok("replan"):
       try:
-        def replan(costs, lethal_center, kp_in, seeds):
-            # lethal disc update (obstacle insert) entirely on device;
-            # gather-free cost->plane refresh (the [V, D] weight-table path
-            # measured 157 ms of gathers at 1M)
-            d2 = jnp.sum((mesh.vertices[:, :2] - lethal_center) ** 2, axis=1)
-            new_costs = jnp.where(d2 < 4.0, jnp.inf, costs)
-            kp_new = pb.refresh_banded_planes_from_costs(
-                kp_in, new_costs, edge_cost_factor=1.0, cost_limit=2.0
-            )
-            res = pb.banded_solve_padded(
-                kp_new, seeds, dtype=dtype, scan_steps=scan_steps,
-                atol=1e-4, rtol=1e-3,
-            )
-            return res.d_pad, res.rounds
+        from mesh_navigation_tpu.api.server import MeshNavServer
+        from mesh_navigation_tpu.config import (
+            LayerConfig, MeshMapConfig, NavConfig, PlannerConfig,
+        )
 
-        rfn = jax.jit(replan)
-        ctr = jnp.asarray([mesh_n * 0.25, mesh_n * 0.25], jnp.float32)
-        # replan latency is per-UPDATE (one obstacle -> refreshed field for
-        # the active robots); it shouldn't scale with the throughput batch
-        b_rep = min(batch, 256)
+        t_rs = time.time()
+        nav_cfg = NavConfig(
+            mesh_map=MeshMapConfig(default_layer="combine", edge_cost_factor=1.0),
+            planner=PlannerConfig(cost_limit=2.0),
+            layers=(
+                LayerConfig(name="steep", kind="steepness",
+                            params=(("threshold", 2.0),)),
+                LayerConfig(name="obst", kind="obstacle"),
+                LayerConfig(name="infl", kind="inflation", inputs=("obst",),
+                            params=(("repulsive_field", 0.0),)),
+                LayerConfig(name="combine", kind="max_combination",
+                            inputs=("steep", "obst", "infl")),
+            ),
+        )
+        srv = MeshNavServer(mesh, nav_cfg, planner_kind="dijkstra")
+        step = srv.make_replan_step("obst")
+        n_rep = 3
+        log(f"# [replan] server + cascade built (+{time.time()-t_rs:.1f}s)")
+
+        # replan latency is per-UPDATE (one sensed obstacle -> refreshed
+        # field for the active robot cohort); one 128-lane block
+        b_rep = 128
         seeds_r = jnp.sort(
             jnp.asarray(rng.integers(0, mesh.num_vertices, b_rep), jnp.int32)
         )
-        out_r = rfn(pipe["costs"], ctr, kp, seeds_r)
+        vpos_np = np.asarray(mesh.vertices)
+
+        def cloud(center_vid):
+            # sensed points hover above the surface around a random vertex
+            ids = np.clip(
+                center_vid + rng.integers(-2, 3, 512) * mesh_n
+                + rng.integers(-2, 3, 512),
+                0, mesh.num_vertices - 1,
+            )
+            return jnp.asarray(
+                vpos_np[ids] + np.asarray([0, 0, 0.3], np.float32)
+            )
+
+        base = pb.banded_solve_padded(
+            srv.banded_plan, seeds_r, atol=1e-4, rtol=2e-3
+        )
+        costs_cur = srv.vertex_costs
+        d_cur = base.d_pad
+        out_r = step(cloud(rng.integers(0, mesh.num_vertices)),
+                     costs_cur, d_cur, seeds_r)
         jax.block_until_ready(out_r)
         t3 = time.time()
         for i in range(n_rep):
-            ctr_i = jnp.asarray(
-                rng.uniform(2, mesh_n * 0.5 - 2, 2).astype(np.float32)
-            )
-            out_r = rfn(pipe["costs"], ctr_i, kp, seeds_r)
-        jax.block_until_ready(out_r)
+            pts = cloud(rng.integers(0, mesh.num_vertices))
+            costs_cur, d_cur, rounds_r = step(pts, costs_cur, d_cur, seeds_r)
+        jax.block_until_ready((costs_cur, d_cur))
         dt_replan = (time.time() - t3) / n_rep
         log(
-            f"# update->refresh->replan {dt_replan*1000:.1f} ms "
-            f"({1.0/dt_replan:.1f} Hz, B={b_rep} lanes/update)"
+            f"# point-cloud->raycast->inflation->combine->refresh->"
+            f"warm-resolve {dt_replan*1000:.1f} ms ({1.0/dt_replan:.1f} Hz, "
+            f"B={b_rep} lanes/update, rounds={int(rounds_r)})"
         )
         emit("replan_cascade_hz", 1.0 / dt_replan, "Hz", (1.0 / dt_replan) / 50.0)
       except Exception as e:

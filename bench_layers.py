@@ -38,7 +38,19 @@ def main():
     v, f = synthetic.terrain_mesh(mesh_n, mesh_n, spacing=0.5, hills=2.0, seed=0)
     mesh = build_mesh(v, f)
     fgrid = raycast.build_face_grid(mesh)
-    print(f"# mesh {mesh.num_vertices} vertices ({time.time()-t0:.1f}s)", file=sys.stderr)
+    # banded (shift-based) Sethian wavefront — the at-scale inflation path;
+    # None on non-banded meshes (gather eikonal fallback)
+    try:
+        from mesh_navigation_tpu.ops import banded_sethian as _bs
+
+        splan = _bs.build_sethian_plan(mesh)
+    except ValueError:
+        splan = None
+    print(
+        f"# mesh {mesh.num_vertices} vertices, inflation="
+        f"{'banded-sethian' if splan is not None else 'gather'} "
+        f"({time.time()-t0:.1f}s)", file=sys.stderr,
+    )
 
     nz = jnp.clip(mesh.vertex_normals[:, 2], -1.0, 1.0)
     steep = jnp.arccos(nz).astype(jnp.float32)
@@ -47,7 +59,9 @@ def main():
 
     def cascade(points):
         lethal = process_point_cloud(mesh, points, params, face_grid=fgrid)
-        res = inflation_distances(mesh, lethal, infl, max_sweeps=64)
+        res = inflation_distances(
+            mesh, lethal, infl, max_sweeps=64, sethian_plan=splan
+        )
         infl_costs = jnp.where(jnp.isfinite(res.dist), fading(res.dist, infl), 0.0)
         combined = jnp.maximum(steep, infl_costs)          # max combination
         ew = sweeps.compute_edge_weights(mesh, combined, 1.0)

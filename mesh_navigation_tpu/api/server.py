@@ -119,9 +119,14 @@ class MeshNavServer:
             return
         if structural or (self.offset_plan is None and self.banded_plan is None):
             # one host transfer at build time; classification is reused by
-            # every subsequent device-side refresh
-            self.offset_plan = self.planner.prepare_offset_plan(self.slot_weights)
+            # every subsequent device-side refresh. The offset plan is the
+            # banded plan's fallback — skip its build when banded exists
+            # (at 1M each host classification costs tens of seconds)
             self.banded_plan = self.planner.prepare_banded_plan(self.slot_weights)
+            self.offset_plan = (
+                None if self.banded_plan is not None
+                else self.planner.prepare_offset_plan(self.slot_weights)
+            )
         else:
             from mesh_navigation_tpu.ops import pallas_banded as _pb
             from mesh_navigation_tpu.ops import structured as _structured
@@ -185,7 +190,7 @@ class MeshNavServer:
             )
             changed = _pb.changed_plane_from_costs(plan0, prev_costs, combined)
             res = _pb.banded_solve_padded(
-                kp, seeds, max_rounds=64, atol=1e-4, rtol=1e-3,
+                kp, seeds, max_rounds=64, atol=1e-4, rtol=2e-3,
                 warm_d=d_prev, warm_changed=changed, warm_pos=pos_planes,
                 converge="check",
             )

@@ -524,6 +524,8 @@ def eikonal_solve_padded(
     interpret: bool | None = None,
     cw: int = 32,
     n_inner: int = 4,
+    init_vb: jax.Array | None = None,   # [V, B] f32 upper-bound warm start
+    orderings: int = 4,
 ) -> EikonalPaddedResult:
     """Batched eikonal fields by 4-ordering chunked-GS fast-sweeping rounds.
 
@@ -531,7 +533,16 @@ def eikonal_solve_padded(
     direction, see _eik_pass_kernel) + residual gather/scatter. Converged
     when nothing improves beyond atol + rtol·|label| in a full round.
     `cw`/`n_inner` trade per-pass cost against round count (in-chunk
-    staleness is bounded by cw / n_inner)."""
+    staleness is bounded by cw / n_inner).
+
+    `init_vb` warm-starts the field with per-vertex UPPER BOUNDS of the
+    eikonal fixed point (e.g. the banded Dijkstra field + the seed offset:
+    graph paths are triangle-interior paths too, so graph distances bound
+    the eikonal distances from above). The rounds then only close the
+    corner-cutting gap. Measured at 1M x 128: warm start ALONE is nearly
+    useless (41 -> 38 rounds — the correction still propagates at the
+    in-chunk freshness rate), but warm + full freshness (cw = n_inner)
+    lands at 3 rounds."""
     if interpret is None:
         interpret = not pallas_available()
     B, S = seed_v.shape
@@ -567,6 +578,16 @@ def eikonal_solve_padded(
         jnp.where(jnp.isfinite(seed_d), seed_d, INF).reshape(-1)
     )
     d0 = d0.reshape(Rp, Cp, Bp)
+    if init_vb is not None:
+        V = plan.num_vertices
+        ip = jnp.full((R * C, Bp), INF, jnp.float32).at[:V, :B].set(
+            init_vb.astype(jnp.float32)
+        )
+        ip = jnp.pad(
+            ip.reshape(R, C, Bp), ((0, Rp - R), (0, Cp - C), (0, 0)),
+            constant_values=INF,
+        )
+        d0 = jnp.minimum(d0, ip)
 
     n_j = Bp // bb
     res_rows = plan.res_v3 // Cp
@@ -574,14 +595,10 @@ def eikonal_solve_padded(
     dirty0 = jnp.zeros((n_j, Rp), jnp.int32)
     dirty0_t = jnp.zeros((1, 1), jnp.int32)   # retained carry slot (unused)
 
-    def one_round(d, dirty, dirty_t, force=False):
-        # four FSM sweep orderings = (row direction) x (in-row chunk
-        # direction); each pass is Gauss-Seidel fresh in BOTH dimensions
-        # (see _eik_pass_kernel). dirty_t is retained in the carry for
-        # signature stability but unused (single orientation now).
+    def half_round(d, dirty, pair, force=False):
         acc = jnp.zeros_like(dirty)
         chgs = []
-        for rev, cdir in ((False, 1), (True, -1), (False, -1), (True, 1)):
+        for rev, cdir in pair:
             d, chg, imp = _eik_directional_pass(
                 d, abc, jnp.maximum(dirty, acc), classes=plan.classes,
                 reverse=rev, chunk_dir=cdir, cw=cw, n_inner=n_inner,
@@ -590,8 +607,33 @@ def eikonal_solve_padded(
             )
             acc = jnp.maximum(acc, imp)
             chgs.append(chg)
-        changed = chgs[0] | chgs[1] | chgs[2] | chgs[3]
-        dirty = acc
+        return d, acc, chgs[0] | chgs[1]
+
+    def one_round(d, dirty, dirty_t, force=False, phase=None):
+        # FSM sweep orderings = (row direction) x (in-row chunk direction);
+        # each pass is Gauss-Seidel fresh in BOTH dimensions (see
+        # _eik_pass_kernel). orderings=4 runs all four per round;
+        # orderings=2 alternates the diagonal pairs by round parity (half
+        # the per-round cost; rounds grow only when characteristics keep
+        # switching quadrants). dirty_t is retained in the carry for
+        # signature stability but unused (single orientation now).
+        if orderings >= 4 or phase is None:
+            d, acc, chg_a = half_round(
+                d, dirty, ((False, 1), (True, -1)), force=force
+            )
+            d, acc2, chg_b = half_round(
+                d, jnp.maximum(dirty, acc), ((False, -1), (True, 1)),
+                force=force,
+            )
+            changed = chg_a | chg_b
+            dirty = jnp.maximum(acc, acc2)
+        else:
+            d, dirty, changed = jax.lax.cond(
+                phase % 2 == 0,
+                lambda dd: half_round(dd[0], dd[1], ((False, 1), (True, -1))),
+                lambda dd: half_round(dd[0], dd[1], ((False, -1), (True, 1))),
+                (d, dirty),
+            )
         if has_residual:
             flat_d = d.reshape(Rp * Cp, Bp)
             u1 = flat_d[plan.res_v1]
@@ -616,7 +658,7 @@ def eikonal_solve_padded(
 
     def body(carry):
         d, dirty, dirty_t, it, _ = carry
-        d, dirty, dirty_t, changed = one_round(d, dirty, dirty_t)
+        d, dirty, dirty_t, changed = one_round(d, dirty, dirty_t, phase=it)
         return d, dirty, dirty_t, it + 1, changed
 
     d1, dirty1, dirty1_t, chg0 = one_round(d0, dirty0, dirty0_t, force=True)

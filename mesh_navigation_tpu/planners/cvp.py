@@ -212,23 +212,50 @@ class CVPPlanner:
     # ------------------------------------------------------------------
     # banded fast-sweeping scale path (ops/pallas_eikonal.py)
     # ------------------------------------------------------------------
-    def prepare_eikonal_plan(self, side_lengths_np, vertex_costs_np=None):
+    def prepare_eikonal_plan(
+        self, side_lengths_np, vertex_costs_np=None, *, warm_start: bool = True
+    ):
         """Banded eikonal kernel plan for band-ordered meshes (the CVP analog
         of DijkstraPlanner.prepare_banded_plan); host-side classification,
         reused across solves. `vertex_costs_np` applies the cost-limit
-        free-vertex skip (cvp_mesh_planner.cpp:802-851) at build time."""
+        free-vertex skip (cvp_mesh_planner.cpp:802-851) at build time.
+
+        warm_start additionally builds a banded DIJKSTRA plan over the same
+        side lengths (with the CVP '>=' cost skip): graph distances upper-
+        bound the triangle-interior eikonal distances, so one cheap Dijkstra
+        solve warm-starts the eikonal rounds (plan_batch_banded)."""
+        import numpy as np
+
+        from mesh_navigation_tpu.mesh.arrays import host_array
+        from mesh_navigation_tpu.ops import pallas_banded as _pb
         from mesh_navigation_tpu.ops import pallas_eikonal as _pe
 
         try:
             plan = _pe.build_eikonal_kernel_plan(self.mesh, side_lengths_np)
         except ValueError:
             return None
+        self._dij_plan = None
+        self._target_ok = None
         if vertex_costs_np is not None:
-            import numpy as np
-
-            plan = _pe.apply_target_mask(
-                plan, np.asarray(vertex_costs_np) < self.config.cost_limit
-            )
+            costs = np.asarray(vertex_costs_np, np.float32)
+            plan = _pe.apply_target_mask(plan, costs < self.config.cost_limit)
+            self._target_ok = jnp.asarray(costs < self.config.cost_limit)
+            if warm_start:
+                ew = np.asarray(side_lengths_np, np.float32)
+                adj_v = host_array(self.mesh, "adj_vertex")
+                adj_e = host_array(self.mesh, "adj_edge")
+                adj_m = host_array(self.mesh, "adj_mask")
+                invalid = host_array(self.mesh, "invalid")
+                # CVP skip semantics on BOTH endpoints ('>=' — cvp:757,
+                # 802-851): a more restrictive graph only raises the warm
+                # bound, never breaks it
+                blocked = (costs >= self.config.cost_limit) | invalid.astype(bool)
+                usable = adj_m & ~blocked[adj_v] & ~blocked[:, None]
+                W = np.where(usable, ew[adj_e], np.inf).astype(np.float32)
+                try:
+                    self._dij_plan = _pb.build_banded_kernel_plan(self.mesh, W)
+                except ValueError:
+                    self._dij_plan = None
         return plan
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -258,11 +285,36 @@ class CVPPlanner:
 
         g_vids, seed_d, g_found = jax.vmap(locate_goal)(goals)   # [B,3],[B,3]
         seed_d = jnp.where(g_found[:, None], seed_d, jnp.inf)
-        # stopping tolerance 1e-3: the FSM refinement tail costs rounds for
-        # sub-0.1% label polish (same finding as the banded solver on
-        # irregular meshes); BASELINE budget is 1% path cost
+        # warm start: one banded Dijkstra solve bounds the eikonal field
+        # from above (graph paths are triangle paths too); the eikonal
+        # rounds then only close the corner-cutting gap
+        init_vb = None
+        if getattr(self, "_dij_plan", None) is not None:
+            from mesh_navigation_tpu.ops import pallas_banded as _pb
+
+            dp = self._dij_plan
+            dres = _pb.banded_solve_padded(
+                dp, g_vids[:, 0], max_rounds=64, atol=1e-4, rtol=2e-3
+            )
+            Rd, Cd = dp.n_rows, dp.n_cols
+            dij_vb = (
+                dres.d_pad[:Rd, :Cd, :B].reshape(Rd * Cd, B)[: mesh.num_vertices]
+            )                                                   # [V, B]
+            init_vb = dij_vb + seed_d[:, 0][None, :]
+            if self._target_ok is not None:
+                init_vb = jnp.where(
+                    self._target_ok[:, None], init_vb, jnp.inf
+                )
+        # cw = n_inner = 8: FULL in-chunk Gauss-Seidel freshness — a wave
+        # crosses a whole row per pass in the chunk direction AND the
+        # opposite direction, so the 4-ordering FSM converges in O(winding)
+        # rounds as designed. Measured at 1M x 128 (dij-warm): rounds
+        # 41 -> 3, solve 9.26 s -> 1.83 s. Partial freshness loses hard:
+        # (cw=16, n_inner=8) -> 11 rounds / 4.6 s; the r3 default
+        # (32, 4) was the 41-round configuration.
         res = _pe.eikonal_solve_padded(
-            kernel_plan, g_vids, seed_d, atol=1e-4, rtol=1e-3
+            kernel_plan, g_vids, seed_d, atol=1e-4, rtol=1e-3,
+            init_vb=init_vb, cw=8, n_inner=8,
         )
         R, C, Cp = kernel_plan.n_rows, kernel_plan.n_cols, kernel_plan.n_cols_pad
         V = kernel_plan.num_vertices

@@ -45,7 +45,7 @@ ew_np = np.where(
 
 cvp = CVPPlanner(mesh, PlannerConfig(cost_limit=2.0), max_path_len=max(2048, 3 * mesh_n))
 t1 = time.time()
-plan = cvp.prepare_eikonal_plan(ew_np, costs_np)
+plan = cvp.prepare_eikonal_plan(ew_np, costs_np, warm_start=True)
 print(f"# eik plan cov={plan.coverage:.4f} classes={len(plan.classes)} "
       f"n_res={plan.n_residual} (build {time.time()-t1:.1f}s)", flush=True)
 
@@ -87,10 +87,40 @@ def locate(goals):
 loc = jax.jit(locate)
 g_vids, seed_d, g_found = timeit("locate goals", loc, [(a[1],) for a in ARGS])
 
-# stage 2: eikonal solve
-solve = jax.jit(lambda gv, sd: pe.eikonal_solve_padded(plan, gv, sd, atol=1e-4, rtol=1e-3))
-res = timeit("eikonal solve", solve, [(g_vids, seed_d)] * 2)
-print(f"    rounds={int(res.rounds)} converged={bool(res.converged)}", flush=True)
+# stage 2: eikonal solve (cold vs dijkstra-warm-started)
+if os.environ.get("PROF_COLD", "0") == "1":
+    solve = jax.jit(lambda gv, sd: pe.eikonal_solve_padded(plan, gv, sd, atol=1e-4, rtol=1e-3))
+    res = timeit("eikonal solve (cold)", solve, [(g_vids, seed_d)] * 2)
+    print(f"    rounds={int(res.rounds)} converged={bool(res.converged)}", flush=True)
+
+from mesh_navigation_tpu.ops import pallas_banded as _pb
+
+dp = cvp._dij_plan
+assert dp is not None
+
+def wsolve(gv, sd):
+    dres = _pb.banded_solve_padded(dp, gv[:, 0], max_rounds=64, atol=1e-4, rtol=2e-3)
+    Rd, Cd = dp.n_rows, dp.n_cols
+    dij_vb = dres.d_pad[:Rd, :Cd, :B].reshape(Rd * Cd, B)[:V]
+    init = jnp.where(cvp._target_ok[:, None], dij_vb + sd[:, 0][None, :], jnp.inf)
+    return pe.eikonal_solve_padded(plan, gv, sd, atol=1e-4, rtol=1e-3, init_vb=init)
+
+import gc
+res = None
+for cw, ninner, orderings in [(8, 8, 2), (8, 8, 4)]:
+    del res
+    gc.collect()
+    def wsolve2(gv, sd, cw=cw, ninner=ninner, o=orderings):
+        dres = _pb.banded_solve_padded(dp, gv[:, 0], max_rounds=64, atol=1e-4, rtol=2e-3)
+        Rd, Cd = dp.n_rows, dp.n_cols
+        dij_vb = dres.d_pad[:Rd, :Cd, :B].reshape(Rd * Cd, B)[:V]
+        init = jnp.where(cvp._target_ok[:, None], dij_vb + sd[:, 0][None, :], jnp.inf)
+        return pe.eikonal_solve_padded(plan, gv, sd, atol=1e-4, rtol=2e-3,
+                                       init_vb=init, cw=cw, n_inner=ninner,
+                                       orderings=o)
+    wf = jax.jit(wsolve2)
+    res = timeit(f"warm eik cw={cw} ni={ninner} o={orderings}", wf, [(g_vids, seed_d)] * 2)
+    print(f"    rounds={int(res.rounds)} converged={bool(res.converged)}", flush=True)
 
 # stage 3: descent paths
 R, C, Cp = plan.n_rows, plan.n_cols, plan.n_cols_pad

@@ -171,3 +171,44 @@ def test_irregular_mesh_eikonal():
     ok = np.isfinite(rd)
     np.testing.assert_allclose(np.asarray(dist[0])[ok], rd[ok],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_warm_start_matches_cold():
+    """The Dijkstra warm start is a pure accelerator: the eikonal fixed
+    point must be unchanged."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mesh_navigation_tpu.config import PlannerConfig
+    from mesh_navigation_tpu.mesh import build_mesh, synthetic
+    from mesh_navigation_tpu.mesh.arrays import host_array
+    from mesh_navigation_tpu.ops import sweeps
+    from mesh_navigation_tpu.planners import CVPPlanner
+
+    v, f = synthetic.terrain_mesh(20, 20, spacing=0.5, hills=1.0,
+                                  roughness=0.03, seed=8)
+    mesh = build_mesh(v, f)
+    rng = np.random.default_rng(2)
+    costs = rng.uniform(0.0, 0.5, mesh.num_vertices).astype(np.float32)
+    ew = np.asarray(sweeps.compute_edge_weights(mesh, jnp.asarray(costs), 1.0))
+
+    vpos = host_array(mesh, "vertices")
+    ids = rng.integers(0, mesh.num_vertices, 8)
+    starts = jnp.asarray(vpos[ids[:4]])
+    goals = jnp.asarray(vpos[ids[4:]])
+
+    cvp_w = CVPPlanner(mesh, PlannerConfig(cost_limit=2.0), max_path_len=128)
+    plan_w = cvp_w.prepare_eikonal_plan(ew, costs, warm_start=True)
+    assert cvp_w._dij_plan is not None
+    res_w = cvp_w.plan_batch_banded(jnp.asarray(ew), plan_w, starts, goals)
+
+    cvp_c = CVPPlanner(mesh, PlannerConfig(cost_limit=2.0), max_path_len=128)
+    plan_c = cvp_c.prepare_eikonal_plan(ew, costs, warm_start=False)
+    assert cvp_c._dij_plan is None
+    res_c = cvp_c.plan_batch_banded(jnp.asarray(ew), plan_c, starts, goals)
+
+    pw = np.asarray(res_w.potential)
+    pc = np.asarray(res_c.potential)
+    fin = np.isfinite(pc)
+    assert (np.isfinite(pw) == fin).all()
+    np.testing.assert_allclose(pw[fin], pc[fin], rtol=5e-3, atol=1e-3)

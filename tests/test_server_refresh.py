@@ -55,11 +55,10 @@ def test_update_point_cloud_refreshes_plans_on_device():
             np.asarray(getattr(srv2.banded_plan, name)),
             rtol=1e-6, atol=0.0, err_msg=name,
         )
-    np.testing.assert_allclose(
-        np.asarray(srv.offset_plan.planes),
-        np.asarray(srv2.offset_plan.planes),
-        rtol=1e-6,
-    )
+    # offset plan is the banded plan's fallback and is no longer built
+    # when a banded plan exists (r4: saves the second ~tens-of-seconds host
+    # classification at 1M)
+    assert srv.offset_plan is None and srv2.offset_plan is None
 
     # and a plan through the wall region reports lethal-aware routing
     res = srv.get_path_batch(
