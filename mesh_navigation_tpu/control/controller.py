@@ -189,6 +189,43 @@ class MeshController:
             )
         )(fix, raw_dir, orientations, states)
 
+    @functools.partial(jax.jit, static_argnums=0, static_argnames=("tol",))
+    def compute_velocity_cvp(
+        self,
+        side_lengths: jax.Array,  # [E] the CVP solve's edge weights
+        dist_bv: jax.Array,       # [B, V] converged eikonal field
+        vertex_costs: jax.Array,  # [V]
+        positions: jax.Array,     # [B, 3]
+        orientations: jax.Array,  # [B, 4]
+        states: ControllerState,  # batched ([B] leaves)
+        *,
+        tol: float = 1e-3,
+    ) -> tuple[VelocityCommand, ControllerState]:
+        """Batched control cycle on the CVP eikonal field — the at-scale
+        planner->controller contract (SURVEY §1: "the vector field is the
+        planner->controller contract", cvp_mesh_planner.cpp:204-239 /
+        mesh_controller.cpp:182): directions are recovered lazily at the
+        tracked face's 3 vertices (winning triangle candidate + θ rotation)
+        instead of materializing a [B, V, 3] field. The CVP twin of
+        compute_velocity_banded."""
+        from mesh_navigation_tpu.ops import pallas_eikonal as _pe
+
+        mesh = self.mesh
+        fix = tracking.locate_batch(
+            mesh, self.grid, positions, states.current_face,
+            max_dist=self.config.max_search_distance,
+        )
+        vids = mesh.faces[jnp.maximum(fix.face, 0)]            # [B, 3]
+        rows = _pe.cvp_rows_at_vertices(
+            mesh, side_lengths, dist_bv, vids, tol=tol
+        )                                                      # [B, 3, 3]
+        raw_dir = jax.vmap(geometry.bary_interpolate)(rows, fix.bary)
+        return jax.vmap(
+            lambda f, rd, o, s: self._finish_velocity(
+                f, rd, vertex_costs, o, s
+            )
+        )(fix, raw_dir, orientations, states)
+
     def _finish_velocity(
         self, fix, raw_dir, vertex_costs, orientation, state
     ) -> tuple[VelocityCommand, ControllerState]:

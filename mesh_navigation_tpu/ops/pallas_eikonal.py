@@ -773,3 +773,63 @@ def cvp_descend_paths(
         step, (start_v, jnp.ones(B, bool)), None, length=max_len
     )
     return path.T, valid.T
+
+
+def cvp_rows_at_vertices(
+    mesh: MeshArrays,
+    side_lengths: jax.Array,    # [E]
+    dist_bv: jax.Array,         # [B, V] converged eikonal field
+    vids: jax.Array,            # [B, K] REAL vertex ids
+    *,
+    tol: float = 1e-3,
+) -> jax.Array:
+    """CVP direction rows recovered LAZILY at a handful of vertices per lane
+    — the planner->controller vector-field contract (SURVEY §1;
+    cvp_mesh_planner.cpp:204-239) without any [B, V] pred/θ map or
+    [B, V, 3] field: per queried vertex, re-evaluate its <= FD incident
+    triangle candidates against the converged field, take the winning
+    (pred, θ), and rotate (pos[pred] - pos[v]) by θ around the vertex
+    normal. Returns [B, K, 3] unit rows (zero where the label has no
+    supporting update — seeds and unreached vertices)."""
+    from mesh_navigation_tpu.mesh import geometry
+    from mesh_navigation_tpu.ops.eikonal import (
+        _face_corner_tables, unfolding_candidates,
+    )
+
+    B, K = vids.shape
+    v1t, v2t, v3t, ea, eb, ec = _face_corner_tables(mesh)
+    a_len = side_lengths[ea]
+    b_len = side_lengths[eb]
+    c_len = side_lengths[ec]
+    lane = jnp.arange(B, dtype=jnp.int32)[:, None, None]    # [B, 1, 1]
+
+    f = mesh.vertex_faces[vids]                  # [B, K, FD]
+    k = mesh.vertex_face_corner[vids]
+    m = mesh.vertex_faces_mask[vids]
+    u1v = v1t[f, k]                              # [B, K, FD]
+    u2v = v2t[f, k]
+    u1 = dist_bv[lane, u1v]
+    u2 = dist_bv[lane, u2v]
+    cands = unfolding_candidates(u1, u2, a_len[f, k], b_len[f, k], c_len[f, k])
+    val = jnp.where(m, cands.value, jnp.inf)
+    arg = jnp.argmin(val, axis=-1)                           # [B, K]
+    best = jnp.min(val, axis=-1)
+
+    def pick(x):
+        return jnp.take_along_axis(x, arg[..., None], axis=-1)[..., 0]
+
+    pred = jnp.where(pick(cands.pred_is_v1), pick(u1v), pick(u2v))  # [B, K]
+    theta = pick(cands.theta)
+    dv = dist_bv[lane[..., 0, 0][:, None], vids]
+    has = (
+        (best <= dv * (1.0 + tol) + tol) & (dv > 0) & jnp.isfinite(dv)
+        & (pred != vids)
+    )
+    d = mesh.vertices[pred] - mesh.vertices[vids]            # [B, K, 3]
+    rotated = geometry.rotate_about_axis(
+        d, mesh.vertex_normals[vids], theta
+    )
+    unit = rotated / jnp.maximum(
+        jnp.linalg.norm(rotated, axis=-1, keepdims=True), 1e-12
+    )
+    return jnp.where(has[..., None], unit, 0.0)

@@ -213,3 +213,60 @@ def test_locate_batch_matches_vmapped_locate(grid_mesh_small):
     )(poss, ref.face)
     got2 = tracking.locate_batch(m, grid, poss, ref.face)
     np.testing.assert_array_equal(np.asarray(ref2.face), np.asarray(got2.face))
+
+
+def test_compute_velocity_cvp_matches_field_sampling():
+    """The lazy CVP controller cycle (directions recovered at the tracked
+    face from the eikonal field) must match sampling the planner's full
+    vector map at the same positions."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mesh_navigation_tpu.config import ControllerConfig, PlannerConfig
+    from mesh_navigation_tpu.control import MeshController
+    from mesh_navigation_tpu.control.controller import initial_state
+    from mesh_navigation_tpu.mesh import build_mesh, synthetic
+    from mesh_navigation_tpu.mesh.arrays import host_array
+    from mesh_navigation_tpu.ops import sweeps
+    from mesh_navigation_tpu.planners import CVPPlanner
+
+    v, f = synthetic.terrain_mesh(16, 16, spacing=0.5, hills=1.0,
+                                  roughness=0.02, seed=6)
+    mesh = build_mesh(v, f)
+    costs = jnp.zeros(mesh.num_vertices, jnp.float32)
+    ew = sweeps.compute_edge_weights(mesh, costs, 0.0)
+
+    cvp = CVPPlanner(mesh, PlannerConfig(cost_limit=2.0), max_path_len=96)
+    vpos = host_array(mesh, "vertices")
+    rng = np.random.default_rng(3)
+    B = 4
+    ids = rng.integers(0, mesh.num_vertices, 2 * B)
+    starts = jnp.asarray(vpos[ids[:B]])
+    goals = jnp.asarray(vpos[ids[B:]])
+    res = cvp.plan_batch(ew, costs, starts, goals)   # gather path: full field
+
+    ctrl = MeshController(mesh, ControllerConfig(), grid=cvp.grid)
+    quats = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (B, 1))
+    sts = jax.vmap(
+        lambda g: initial_state(g, jnp.asarray([1.0, 0.0, 0.0]))
+    )(goals)
+
+    # reference: per-lane compute_velocity on that lane's vector map
+    cmd_ref, _ = jax.vmap(
+        lambda vm, p, q, s: ctrl.compute_velocity(vm, costs, p, q, s)
+    )(res.vector_map, starts, quats, sts)
+
+    cmd_lazy, _ = ctrl.compute_velocity_cvp(
+        ew, res.potential, costs, starts, quats, sts
+    )
+    ok = np.asarray(cmd_ref.outcome) == 0
+    assert ok.sum() >= 2
+    np.testing.assert_allclose(
+        np.asarray(cmd_lazy.linear)[ok], np.asarray(cmd_ref.linear)[ok],
+        rtol=0.1, atol=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cmd_lazy.angular)[ok], np.asarray(cmd_ref.angular)[ok],
+        rtol=0.1, atol=0.05,
+    )
