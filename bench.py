@@ -425,11 +425,16 @@ def main():
                 f"({time.time()-t_c:.1f}s)"
             )
             ew_dev = jnp.asarray(ew_np)
-            # plan tables as ARGUMENTS, not closure constants — closed-over
-            # device arrays get baked into the serialized HLO (~160 MB at
-            # 1M), which a remote-compile transport rejects
+            # plan tables (incl. the warm-start Dijkstra plan) as ARGUMENTS,
+            # not closure constants — closed-over device arrays get baked
+            # into the serialized HLO (~160 MB at 1M), which a
+            # remote-compile transport rejects
+            dij_plan = cvp._dij_plan
+            cvp._dij_plan = None
             cfn = jax.jit(
-                lambda ew, kp, s, g: cvp.plan_batch_banded(ew, kp, s, g)
+                lambda ew, kp, s, g, wp: cvp.plan_batch_banded(
+                    ew, kp, s, g, warm_plan=wp
+                )
             )
             from mesh_navigation_tpu.mesh.arrays import host_array as _ha
 
@@ -443,12 +448,12 @@ def main():
                 return jnp.asarray(p[:cvp_b]), jnp.asarray(p[cvp_b:])
 
             s_c, g_c = sample_on_surface()
-            out_c = cfn(ew_dev, ckplan, s_c, g_c)
+            out_c = cfn(ew_dev, ckplan, s_c, g_c, dij_plan)
             jax.block_until_ready(out_c)
             log(f"# [cvp] compiled+warm (+{time.time()-t_c:.1f}s)")
             t_c2 = time.time()
             for i in range(iters):
-                out_c = cfn(ew_dev, ckplan, *sample_on_surface())
+                out_c = cfn(ew_dev, ckplan, *sample_on_surface(), dij_plan)
             jax.block_until_ready(out_c)
             dt_c = time.time() - t_c2
             sps_c = cvp_b * iters / dt_c
@@ -519,7 +524,9 @@ def main():
         # solves/s; 3e-3 -> 1.12% / 395; 2e-3 sits under the budget).
         # int8 class preds + the compact residual slot table (r4) cut the
         # pred footprint 4x, so the full lane batch fits in HBM again
-        b_irr = batch
+        # B=1024 OOMs with the residual scatter temporaries (~161k x Bp
+        # candidate slabs alongside the 4 GB field); 512 is the fit
+        b_irr = min(batch, 512)
         pipe_i = build_pipeline(
             mesh_i, mesh_n, b_irr, dtype, scan_steps, "irregular",
             atol=1e-3, rtol=2e-3,

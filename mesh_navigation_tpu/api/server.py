@@ -181,10 +181,37 @@ class MeshNavServer:
         cost_limit = self.config.planner.cost_limit
         key_pts = f"obstacle:{layer_name}:points"
 
+        # the reference's change fan-out re-evaluates only DEPENDENTS of
+        # the changed layer (layer_manager.cpp:202-263): static layers'
+        # outputs are cached at build and only the obstacle-downstream
+        # sub-DAG recomputes per update
+        affected = {layer_name}
+        grew = True
+        while grew:
+            grew = False
+            for c in stack.configs:
+                if c.name not in affected and any(
+                    i in affected for i in c.inputs
+                ):
+                    affected.add(c.name)
+                    grew = True
+        cached_outputs, _ = stack.compute(mesh, dict(base_state))
+        cached_outputs = {
+            n: o for n, o in cached_outputs.items() if n not in affected
+        }
+
         def step(points, prev_costs, d_prev, seeds):
             st = dict(base_state)
             st[key_pts] = points
-            _, combined = stack.compute(mesh, st)
+            st["__factors__"] = {c.name: c.factor for c in stack.configs}
+            outputs = dict(cached_outputs)
+            for name in stack.order:
+                if name not in affected:
+                    continue
+                cfg = next(c for c in stack.configs if c.name == name)
+                inputs = {i: outputs[i] for i in cfg.inputs}
+                outputs[name] = stack.fns[name](mesh, inputs, st)
+            combined = outputs[stack.default_layer].costs
             kp = _pb.refresh_banded_planes_from_costs(
                 plan0, combined, edge_cost_factor=factor, cost_limit=cost_limit
             )

@@ -265,6 +265,10 @@ class CVPPlanner:
         kernel_plan,               # ops.pallas_eikonal.EikonalKernelPlan
         starts: jax.Array,         # [B, 3]
         goals: jax.Array,          # [B, 3]
+        warm_plan=None,            # BandedKernelPlan (pass self._dij_plan —
+                                   # as an ARGUMENT so its ~160 MB of planes
+                                   # don't ship as HLO constants; remote
+                                   # compile rejects those with HTTP 413)
     ) -> PlanResult:
         """Batched CVP at scale: the wavefront runs as four-directional
         banded GS fast sweeps (O(winding) rounds, no [F, 3, B] gather
@@ -289,10 +293,12 @@ class CVPPlanner:
         # from above (graph paths are triangle paths too); the eikonal
         # rounds then only close the corner-cutting gap
         init_vb = None
-        if getattr(self, "_dij_plan", None) is not None:
+        if warm_plan is None:
+            warm_plan = getattr(self, "_dij_plan", None)
+        if warm_plan is not None:
             from mesh_navigation_tpu.ops import pallas_banded as _pb
 
-            dp = self._dij_plan
+            dp = warm_plan
             dres = _pb.banded_solve_padded(
                 dp, g_vids[:, 0], max_rounds=64, atol=1e-4, rtol=2e-3
             )
