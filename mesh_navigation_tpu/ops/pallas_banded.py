@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -951,11 +952,26 @@ def _directional_pass_pallas(
     def ymap(j, i):
         return (0, 0)
 
+    # wide bands: the per-row scan temporaries ([Cp, bb] slabs) can exceed
+    # the 16 MB scoped-vmem default — size the per-kernel limit to the block
+    # model (v5e VMEM = 128 MB)
+    vmem_need = (
+        (18 + Lx) * Cp * bb * 4
+        + 4 * rb * Cp * bb * jnp.dtype(d.dtype).itemsize
+        + (4 << 20)
+    )
+    compiler_params = (
+        None if interpret or vmem_need <= (16 << 20)
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(vmem_need, 100 << 20))
+        )
+    )
     out, chg, dirty_out = pl.pallas_call(
         functools.partial(
             _pass_kernel, rb, n_scan, n_scan2, reverse, atol, rtol, skip,
             force, use_dirty, xlanes, defer,
         ),
+        compiler_params=compiler_params,
         grid=(n_j, n_i),
         in_specs=[
             pl.BlockSpec((rb, Cp, bb), dmap, memory_space=pltpu.VMEM),
@@ -1011,7 +1027,7 @@ def _pick_pred_blocks(Rp: int, Cp: int, *, dtype=jnp.float32):
     return 1, bb
 
 
-def _pick_blocks(Cp: int, *, vmem_total: int = 15 << 20, dtype=jnp.float32,
+def _pick_blocks(Cp: int, *, vmem_total: int | None = None, dtype=jnp.float32,
                  extra_lanes: int = 0):
     """Row-block / batch-block sizes under the 16M VMEM limit. Budget model
     (validated against Mosaic's scoped-vmem accounting at Cp=1024): dist
@@ -1019,13 +1035,19 @@ def _pick_blocks(Cp: int, *, vmem_total: int = 15 << 20, dtype=jnp.float32,
     per-row compute keeps ~16 [Cp, bb] temporaries on the scoped stack —
     plus ~1 more per extended relaxation lane (measured: 7 lanes pushed the
     no-skip variant 1.98M over the 16M scoped limit at Cp=512)."""
-    bb = 128
+    if vmem_total is None:
+        vmem_total = 15 << 20
     itemsize = jnp.dtype(dtype).itemsize
+    bb = 128
     temp_estimate = (16 + extra_lanes) * Cp * bb * 4
     budget = vmem_total - temp_estimate - (1 << 20)  # planes + scratch slack
     for rb in (16, 8, 4, 2, 1):
         if 4 * rb * Cp * bb * itemsize <= budget:
             return rb, bb
+    # very wide bands (Cp ≳ 3k): the scan temporaries alone exceed the
+    # 16 MB scoped-vmem DEFAULT; keep full lanes — the pass raises its own
+    # per-kernel limit via CompilerParams(vmem_limit_bytes) (v5e VMEM is
+    # 128 MB)
     return 1, bb
 
 

@@ -18,6 +18,7 @@ import sys
 import time
 
 import numpy as np
+
 import jax
 import jax.numpy as jnp
 
