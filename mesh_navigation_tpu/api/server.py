@@ -195,12 +195,24 @@ class MeshNavServer:
                 ):
                     affected.add(c.name)
                     grew = True
-        cached_outputs, _ = stack.compute(mesh, dict(base_state))
+        cached_outputs, combined0 = stack.compute(mesh, dict(base_state))
         cached_outputs = {
             n: o for n, o in cached_outputs.items() if n not in affected
         }
+        # base planes for the NO-OBSTACLE combined costs, cached once: each
+        # update's combined field differs from this base only around the
+        # sensed obstacle, so the per-step refresh rewrites just those plane
+        # rows (refresh_banded_planes_rows) instead of all ~60 MB of planes
+        base_planes = jax.jit(
+            lambda c: _pb.refresh_banded_planes_from_costs(
+                plan0, c, edge_cost_factor=factor, cost_limit=cost_limit
+            )
+        )(combined0)
 
-        def step(points, prev_costs, d_prev, seeds):
+        # base_planes/combined0 ride as jit ARGUMENTS (closure device arrays
+        # get baked into the serialized HLO — ~120 MB of planes would trip
+        # the remote-compile transport, the r3 CVP lesson)
+        def _step(bplanes, comb0, points, prev_costs, d_prev, seeds):
             st = dict(base_state)
             st[key_pts] = points
             st["__factors__"] = {c.name: c.factor for c in stack.configs}
@@ -212,8 +224,9 @@ class MeshNavServer:
                 inputs = {i: outputs[i] for i in cfg.inputs}
                 outputs[name] = stack.fns[name](mesh, inputs, st)
             combined = outputs[stack.default_layer].costs
-            kp = _pb.refresh_banded_planes_from_costs(
-                plan0, combined, edge_cost_factor=factor, cost_limit=cost_limit
+            kp = _pb.refresh_banded_planes_rows(
+                bplanes, comb0, combined,
+                edge_cost_factor=factor, cost_limit=cost_limit,
             )
             changed = _pb.changed_plane_from_costs(plan0, prev_costs, combined)
             res = _pb.banded_solve_padded(
@@ -223,7 +236,13 @@ class MeshNavServer:
             )
             return combined, res.d_pad, res.rounds
 
-        return jax.jit(step)
+        jstep = jax.jit(_step)
+
+        def step(points, prev_costs, d_prev, seeds):
+            return jstep(base_planes, combined0, points, prev_costs,
+                         d_prev, seeds)
+
+        return step
 
     # ------------------------------------------------------------------
     # GetPath

@@ -60,7 +60,7 @@ def fading(distance: jax.Array, p: InflationParams) -> jax.Array:
 
 def inflation_distances(
     mesh: MeshArrays, lethal: jax.Array, p: InflationParams,
-    *, max_sweeps: int = 0, sethian_plan=None,
+    *, max_sweeps: int = 0, sethian_plan=None, window=(64, 128),
 ) -> eikonal.EikonalResult:
     """Geodesic distance from the lethal set over raw edge distances
     (inflation uses `edge_distances`, not cost weights —
@@ -69,6 +69,9 @@ def inflation_distances(
     With a `sethian_plan` (band-ordered meshes) the wave runs as the
     shift-based dense-pattern solve (ops/banded_sethian.py) — same fixed
     point, no [F, 3] gathers; the cap keeps it a few rounds at any scale.
+    `window` positions a static-shape sub-plane around the lethal set
+    (live-replan fast path, certified exact with in-jit fallback); None
+    forces full-plane rounds.
     """
     seed = jnp.where(lethal, 0.0, INF).astype(jnp.float32)
     if sethian_plan is not None:
@@ -76,6 +79,7 @@ def inflation_distances(
 
         dist = _bs.sethian_distances_banded(
             sethian_plan, seed, source_cap=p.inflation_radius,
+            window=window,
         )
         vidx = jnp.arange(mesh.num_vertices, dtype=jnp.int32)
         return eikonal.EikonalResult(

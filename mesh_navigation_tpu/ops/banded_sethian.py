@@ -236,7 +236,7 @@ def _shift2j(x: jax.Array, dr: int, dc: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_rounds",)
+    jax.jit, static_argnames=("max_rounds", "window")
 )
 def sethian_distances_banded(
     plan: SethianPlan,
@@ -245,11 +245,25 @@ def sethian_distances_banded(
     source_cap: float | jax.Array = jnp.inf,
     max_rounds: int = 64,
     atol: float = 1e-6,
+    window: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Label-correcting Jacobi rounds of the dense-pattern Sethian update —
     the same fixed point as ops/eikonal.eikonal_field(update="sethian",
     source_cap=...) (both are monotone relaxations of the identical
-    candidate set). Returns dist [V]."""
+    candidate set). Returns dist [V].
+
+    With `window=(wr, wc)` the rounds run on a static-shape sub-plane
+    positioned (at runtime) around the seed bounding box — the live-replan
+    fast path: a sensed obstacle's wave only ever travels inflation_radius,
+    so full-field rounds waste >99% of the work at 1M vertices. EXACTNESS is
+    certified, not assumed: the windowed result (extended by +inf) is
+    accepted only if (1) the inner border band of the window (the dense
+    patterns' maximal shift reach: 2 rows / 4 cols) stayed +inf, so no dense
+    candidate can escape, and (2) no residual-list support vertex holds a
+    finite label, so no residual candidate fires anywhere. Both conditions
+    make the extended field a fixed point of the FULL relaxation agreeing
+    with the seeds, which is unique (monotone min-system) — otherwise the
+    solve falls back to full-plane rounds inside the same jit (lax.cond)."""
     R, C, Cp, V = plan.n_rows, plan.n_cols, plan.n_cols_pad, plan.num_vertices
 
     d0 = jnp.full(R * C, INF, jnp.float32).at[:V].set(seed_dist)
@@ -257,46 +271,126 @@ def sethian_distances_banded(
     is_seed = jnp.isfinite(d0)
     has_res = plan.n_residual > 0
 
-    def one_round(d):
-        best = d
-        for p, (dr1, dc1, dr2, dc2) in enumerate(plan.patterns):
-            u1 = _shift2j(d, dr1, dc1)
-            u2 = _shift2j(d, dr2, dc2)
-            cand = sethian_candidates(
-                u1, u2, plan.pat_a[p], plan.pat_b[p], plan.pat_c[p]
-            ).value
-            cand = jnp.where(
-                (u1 <= source_cap) & (u2 <= source_cap), cand, INF
-            )
-            best = jnp.minimum(best, cand)
-        best = jnp.where(plan.invalid_plane | is_seed, d, best)
+    def rounds(d_init, seed_mask, pa, pb, pc, invalid, res_flat=None):
+        """Jacobi rounds over an arbitrary (full or windowed) plane."""
+        def one_round(d):
+            best = d
+            for p, (dr1, dc1, dr2, dc2) in enumerate(plan.patterns):
+                u1 = _shift2j(d, dr1, dc1)
+                u2 = _shift2j(d, dr2, dc2)
+                cand = sethian_candidates(u1, u2, pa[p], pb[p], pc[p]).value
+                cand = jnp.where(
+                    (u1 <= source_cap) & (u2 <= source_cap), cand, INF
+                )
+                best = jnp.minimum(best, cand)
+            best = jnp.where(invalid | seed_mask, d, best)
+            if res_flat is not None:
+                flat = best.reshape(-1)
+                u1 = flat[res_flat[0]]
+                u2 = flat[res_flat[1]]
+                cand = sethian_candidates(
+                    u1, u2, plan.res_a, plan.res_b, plan.res_c
+                ).value
+                cand = jnp.where(
+                    (u1 <= source_cap) & (u2 <= source_cap), cand, INF
+                )
+                tgt = res_flat[2]
+                keep = ~(invalid.reshape(-1)[tgt] | seed_mask.reshape(-1)[tgt])
+                cand = jnp.where(keep, cand, INF)
+                flat = flat.at[tgt].min(cand)
+                best = flat.reshape(d.shape)
+            return best
+
+        def cond(carry):
+            d, it, changed = carry
+            return changed & (it < max_rounds)
+
+        def body(carry):
+            d, it, _ = carry
+            new = one_round(d)
+            return new, it + 1, jnp.any(new + atol < d)
+
+        d, _, _ = jax.lax.while_loop(
+            cond, body, (d_init, jnp.int32(0), jnp.bool_(True))
+        )
+        return d
+
+    pf = lambda v: (v // C) * Cp + v % C
+    res_flat = (
+        (pf(plan.res_v1), pf(plan.res_v2), pf(plan.res_v3))
+        if has_res else None
+    )
+
+    def full_solve():
+        return rounds(d0, is_seed, plan.pat_a, plan.pat_b, plan.pat_c,
+                      plan.invalid_plane, res_flat)
+
+    if window is None:
+        d = full_solve()
+        return d[:, :C].reshape(-1)[:V]
+
+    wr, wc = min(window[0], R), min(window[1], Cp)
+
+    # seed bounding box (runtime) -> static-shape window position
+    rows_any = is_seed.any(axis=1)
+    cols_any = is_seed.any(axis=0)
+    idx_r = jnp.arange(R)
+    idx_c = jnp.arange(Cp)
+    rmin = jnp.min(jnp.where(rows_any, idx_r, R))
+    rmax = jnp.max(jnp.where(rows_any, idx_r, -1))
+    cmin = jnp.min(jnp.where(cols_any, idx_c, Cp))
+    cmax = jnp.max(jnp.where(cols_any, idx_c, -1))
+    has_seeds = jnp.any(rows_any)
+    margin = 8  # room for the wave to grow before the border certificate
+    fits = (
+        has_seeds
+        & (rmax - rmin + 1 + 2 * margin <= wr)
+        & (cmax - cmin + 1 + 2 * margin <= wc)
+    )
+    r0 = jnp.clip((rmin + rmax + 1 - wr) // 2, 0, R - wr)
+    c0 = jnp.clip((cmin + cmax + 1 - wc) // 2, 0, Cp - wc)
+
+    def windowed_solve():
+        dw0 = jax.lax.dynamic_slice(d0, (r0, c0), (wr, wc))
+        sw = jax.lax.dynamic_slice(is_seed, (r0, c0), (wr, wc))
+        invw = jax.lax.dynamic_slice(plan.invalid_plane, (r0, c0), (wr, wc))
+        paw = jax.lax.dynamic_slice(plan.pat_a, (0, r0, c0),
+                                    (plan.pat_a.shape[0], wr, wc))
+        pbw = jax.lax.dynamic_slice(plan.pat_b, (0, r0, c0),
+                                    (plan.pat_b.shape[0], wr, wc))
+        pcw = jax.lax.dynamic_slice(plan.pat_c, (0, r0, c0),
+                                    (plan.pat_c.shape[0], wr, wc))
+        dw = rounds(dw0, sw, paw, pbw, pcw, invw, None)
+
+        # escape certificates (see docstring)
+        fin = jnp.isfinite(dw)
+        rr = jnp.arange(wr)[:, None]
+        cc = jnp.arange(wc)[None, :]
+        # a band touching the PLANE edge borders +inf padding anyway, but
+        # keeping the check there is harmless (seeds are excluded; a seed
+        # hugging the map border stays on the full-solve path via `fits`)
+        border = (rr < 2) | (rr >= wr - 2) | (cc < 4) | (cc >= wc - 4)
+        dense_clean = ~jnp.any(fin & border & ~sw)
         if has_res:
-            flat = best.reshape(-1)
-            pf = lambda v: (v // C) * Cp + v % C
-
-            u1 = flat[pf(plan.res_v1)]
-            u2 = flat[pf(plan.res_v2)]
-            cand = sethian_candidates(
-                u1, u2, plan.res_a, plan.res_b, plan.res_c
-            ).value
-            cand = jnp.where(
-                (u1 <= source_cap) & (u2 <= source_cap), cand, INF
+            def in_win_val(ids_flat):
+                rws = ids_flat // Cp - r0
+                cws = ids_flat % Cp - c0
+                inside = (rws >= 0) & (rws < wr) & (cws >= 0) & (cws < wc)
+                v = dw[jnp.clip(rws, 0, wr - 1), jnp.clip(cws, 0, wc - 1)]
+                return jnp.where(inside, v, INF)
+            pad_ok = jnp.isfinite(plan.res_a)  # padded rows have inf sides
+            res_clean = ~jnp.any(
+                (jnp.isfinite(in_win_val(res_flat[0]))
+                 | jnp.isfinite(in_win_val(res_flat[1]))) & pad_ok
             )
-            tgt = pf(plan.res_v3)
-            keep = ~(plan.invalid_plane.reshape(-1)[tgt] | is_seed.reshape(-1)[tgt])
-            cand = jnp.where(keep, cand, INF)
-            flat = flat.at[tgt].min(cand)
-            best = flat.reshape(R, Cp)
-        return best
+        else:
+            res_clean = jnp.bool_(True)
 
-    def cond(carry):
-        d, it, changed = carry
-        return changed & (it < max_rounds)
+        def accept():
+            return jax.lax.dynamic_update_slice(
+                jnp.full((R, Cp), INF, jnp.float32), dw, (r0, c0)
+            )
+        return jax.lax.cond(dense_clean & res_clean, accept, full_solve)
 
-    def body(carry):
-        d, it, _ = carry
-        new = one_round(d)
-        return new, it + 1, jnp.any(new + atol < d)
-
-    d, _, _ = jax.lax.while_loop(cond, body, (d0, jnp.int32(0), jnp.bool_(True)))
+    d = jax.lax.cond(fits, windowed_solve, full_solve)
     return d[:, :C].reshape(-1)[:V]

@@ -599,8 +599,7 @@ def refresh_banded_planes_from_costs(
     Exactly equivalent to
     refresh_banded_planes(plan, slot_weights(compute_edge_weights(...)))."""
     V = plan.num_vertices
-    R, C, Cp, S = plan.n_rows, plan.n_cols, plan.n_cols_pad, plan.n_scan
-    f = edge_cost_factor
+    R, C, Cp = plan.n_rows, plan.n_cols, plan.n_cols_pad
 
     cost_pad = (
         jnp.full((R * C,), INF, jnp.float32)
@@ -608,6 +607,30 @@ def refresh_banded_planes_from_costs(
         .reshape(R, C)
     )
     cost_pad = jnp.pad(cost_pad, ((0, 0), (0, Cp - C)), constant_values=INF)
+
+    planes = _planes_from_cost_plane(
+        plan, cost_pad,
+        plan.dist_lat_fwd, plan.dist_lat_bwd, plan.dist_down, plan.dist_up,
+        plan.xdist_down, plan.xdist_up,
+        edge_cost_factor, cost_limit,
+    )
+    res_w = _residual_weights_from_costs(
+        plan, cost_pad, edge_cost_factor, cost_limit
+    )
+    return dataclasses.replace(plan, res_w=res_w, **planes)
+
+
+def _planes_from_cost_plane(
+    plan: BandedKernelPlan,
+    cost_pad: jax.Array,          # [Rs, Cp] (full plane or row slab)
+    dist_lat_fwd, dist_lat_bwd, dist_down, dist_up, xdist_down, xdist_up,
+    f, cost_limit,
+):
+    """All dense weight planes from a cost plane — shared by the full and
+    row-windowed refresh; works on any row count (the computation is local
+    to +-2 rows, so a slab with 3 halo rows reproduces the full result on
+    its interior)."""
+    S, Cp = plan.n_scan, plan.n_cols_pad
 
     def weigh(dist_p, dr, dc):
         cu = _shift2(cost_pad, dr, dc, xp=jnp)          # source cost
@@ -620,13 +643,13 @@ def refresh_banded_planes_from_costs(
         )
         return jnp.where(ok, w, INF).astype(jnp.float32)
 
-    lat_fwd = weigh(plan.dist_lat_fwd, 0, -1)
-    lat_bwd = weigh(plan.dist_lat_bwd, 0, 1)
+    lat_fwd = weigh(dist_lat_fwd, 0, -1)
+    lat_bwd = weigh(dist_lat_bwd, 0, 1)
     down = jnp.stack(
-        [weigh(plan.dist_down[:, i, :], -1, i - 1) for i in range(3)], axis=1
+        [weigh(dist_down[:, i, :], -1, i - 1) for i in range(3)], axis=1
     )
     up = jnp.stack(
-        [weigh(plan.dist_up[:, i, :], 1, i - 1) for i in range(3)], axis=1
+        [weigh(dist_up[:, i, :], 1, i - 1) for i in range(3)], axis=1
     )
     lf_eff, lb_eff = _effective_laterals(lat_fwd, lat_bwd, down, up, xp=jnp)
     a_fwd, a_bwd = _chain_weights(lf_eff, lb_eff, S, xp=jnp)
@@ -640,7 +663,7 @@ def refresh_banded_planes_from_costs(
     if plan.xlanes_down:
         xdown = jnp.stack(
             [
-                weigh(plan.xdist_down[:, i, :], -sel, dc)
+                weigh(xdist_down[:, i, :], -sel, dc)
                 for i, (sel, dc) in enumerate(plan.xlanes_down)
             ],
             axis=1,
@@ -648,13 +671,19 @@ def refresh_banded_planes_from_costs(
     if plan.xlanes_up:
         xup = jnp.stack(
             [
-                weigh(plan.xdist_up[:, i, :], sel, dc)
+                weigh(xdist_up[:, i, :], sel, dc)
                 for i, (sel, dc) in enumerate(plan.xlanes_up)
             ],
             axis=1,
         )
+    return dict(
+        down=down, up=up, a_fwd=a_fwd, a_bwd=a_bwd,
+        xdown=xdown, xup=xup, lat_fwd=lat_fwd, lat_bwd=lat_bwd,
+        l2_fwd=l2f, l2_bwd=l2b, wback_fwd=wbf, wback_bwd=wbb,
+    )
 
-    # residual: tiny gather list
+
+def _residual_weights_from_costs(plan, cost_pad, f, cost_limit):
     cflat = cost_pad.reshape(-1)
     c_dst = cflat[plan.res_dst]
     c_src = cflat[plan.res_src]
@@ -665,12 +694,123 @@ def refresh_banded_planes_from_costs(
         & jnp.isfinite(c_src)
         & (c_src <= cost_limit)
     )
-    res_w = jnp.where(ok, w, INF).astype(jnp.float32)
-    return dataclasses.replace(
-        plan, down=down, up=up, a_fwd=a_fwd, a_bwd=a_bwd, res_w=res_w,
-        xdown=xdown, xup=xup, lat_fwd=lat_fwd, lat_bwd=lat_bwd,
-        l2_fwd=l2f, l2_bwd=l2b, wback_fwd=wbf, wback_bwd=wbb,
+    return jnp.where(ok, w, INF).astype(jnp.float32)
+
+
+_REFRESH_HALO = 3   # costs reach plane rows via eff-laterals (+-2) and
+                    # extended lanes (|dr| <= 2); 3 covers both with slack
+
+
+def refresh_banded_planes_rows(
+    base_plan: BandedKernelPlan,
+    base_costs: jax.Array,        # [V] the costs base_plan was refreshed at
+    vertex_costs: jax.Array,      # [V] new costs
+    *,
+    edge_cost_factor: float | jax.Array = 0.0,
+    cost_limit: float | jax.Array = 1.0,
+    row_window: int = 64,
+) -> BandedKernelPlan:
+    """INCREMENTAL plane refresh (live-replan fast path): update only the
+    plane rows whose costs changed vs `base_costs`.
+
+    `base_plan` must be `refresh_banded_planes_from_costs(plan, base_costs)`
+    output (any plan whose planes correspond to base_costs). A cost change
+    confined to rows [a, b] only affects plane rows [a-2, b+2]
+    (_REFRESH_HALO), so a static-shape row slab positioned at runtime
+    rewrites exactly those rows on top of the cached base planes — at 1M the
+    full refresh moves ~60 MB of VPU traffic per update for a 5-row obstacle
+    disc. Falls back to the full refresh inside the same jit when the
+    changed rows don't fit the slab. Exact: slab interior rows see the same
+    +-3-row cost context as the full computation."""
+    V = base_plan.num_vertices
+    R, C, Cp = base_plan.n_rows, base_plan.n_cols, base_plan.n_cols_pad
+    PR = row_window
+    H = _REFRESH_HALO
+    if R < PR + 2 * H:
+        return refresh_banded_planes_from_costs(
+            base_plan, vertex_costs,
+            edge_cost_factor=edge_cost_factor, cost_limit=cost_limit,
+        )
+
+    def pad_plane(costs):
+        p = (
+            jnp.full((R * C,), INF, jnp.float32)
+            .at[:V].set(costs.astype(jnp.float32))
+            .reshape(R, C)
+        )
+        return jnp.pad(p, ((0, 0), (0, Cp - C)), constant_values=INF)
+
+    cost_pad = pad_plane(vertex_costs)
+    base_pad = pad_plane(base_costs)
+
+    row_changed = jnp.any(cost_pad != base_pad, axis=1)          # [R]
+    idx = jnp.arange(R)
+    a = jnp.min(jnp.where(row_changed, idx, R))
+    b = jnp.max(jnp.where(row_changed, idx, -1))
+    fits = b - a + 1 + 2 * H <= PR - 2       # changed rows + halo in slab
+    p0 = jnp.clip(a - H - 1, 0, R - PR)
+
+    def full():
+        planes = _planes_from_cost_plane(
+            base_plan, cost_pad,
+            base_plan.dist_lat_fwd, base_plan.dist_lat_bwd,
+            base_plan.dist_down, base_plan.dist_up,
+            base_plan.xdist_down, base_plan.xdist_up,
+            edge_cost_factor, cost_limit,
+        )
+        return tuple(planes[k] for k in _PLANE_KEYS)
+
+    def windowed():
+        CS = PR + 2 * H
+
+        def slab(x, row_axis=0):
+            # rows [p0-H, p0+PR+H) of x via an H-row inf extension
+            padw = [(0, 0)] * x.ndim
+            padw[row_axis] = (H, H)
+            ext = jnp.pad(x, padw, constant_values=INF)
+            start = [0] * x.ndim
+            start[row_axis] = p0
+            size = list(x.shape)
+            size[row_axis] = CS
+            return jax.lax.dynamic_slice(ext, start, size)
+
+        planes = _planes_from_cost_plane(
+            base_plan, slab(cost_pad),
+            slab(base_plan.dist_lat_fwd), slab(base_plan.dist_lat_bwd),
+            slab(base_plan.dist_down), slab(base_plan.dist_up),
+            slab(base_plan.xdist_down) if base_plan.xlanes_down
+            else base_plan.xdist_down,
+            slab(base_plan.xdist_up) if base_plan.xlanes_up
+            else base_plan.xdist_up,
+            edge_cost_factor, cost_limit,
+        )
+
+        def write(base, part):
+            if part is None or base is None:
+                return base
+            if part is base:          # untouched placeholder (no xlanes)
+                return base
+            interior = jax.lax.slice_in_dim(part, H, H + PR, axis=0)
+            start = (p0,) + (0,) * (base.ndim - 1)
+            return jax.lax.dynamic_update_slice(base, interior, start)
+
+        return tuple(
+            write(getattr(base_plan, k), planes[k]) for k in _PLANE_KEYS
+        )
+
+    outs = jax.lax.cond(fits, windowed, full)
+    res_w = _residual_weights_from_costs(
+        base_plan, cost_pad, edge_cost_factor, cost_limit
     )
+    return dataclasses.replace(
+        base_plan, res_w=res_w, **dict(zip(_PLANE_KEYS, outs))
+    )
+
+
+_PLANE_KEYS = (
+    "down", "up", "a_fwd", "a_bwd", "xdown", "xup", "lat_fwd", "lat_bwd",
+    "l2_fwd", "l2_bwd", "wback_fwd", "wback_bwd",
+)
 
 
 def _shift_down(x: jax.Array, k: int) -> jax.Array:
@@ -687,9 +827,9 @@ def _shift_up(x: jax.Array, k: int) -> jax.Array:
 def _pass_kernel(
     rb: int, n_scan: int, n_scan2: int, reverse: bool, atol: float,
     rtol: float, skip: bool, force: bool, use_dirty: bool, xlanes: tuple,
-    defer: bool,
+    defer: bool, warm_cut: bool,
     dist_ref, cross_ref, af_ref, ab_ref, xcross_ref, l2f_ref, l2b_ref,
-    wback_ref, dirty_in_ref,
+    wback_ref, dirty_in_ref, cutlb_ref, cutth_ref, seedrc_ref,
     out_ref, chg_ref, dirty_out_ref, prev_ref, prev2_ref,
 ):
     j = pl.program_id(0)
@@ -721,6 +861,21 @@ def _pass_kernel(
         # broadcast-insert minor dims on 16-bit types, and f32 VPU math
         # costs the same — bf16 only saves HBM/VMEM traffic on the field)
         cur = dist_ref[r].astype(jnp.float32)   # [Cp, BB]
+        if warm_cut:
+            # warm incremental resolve: apply the raise-invalidation cut +
+            # seed re-insertion AT LOAD instead of materializing a separate
+            # d_start field (saves one full field read+write round trip).
+            # cut = lb[row plane] + per-lane threshold; labels >= cut may
+            # have routed through a changed edge and re-solve from inf
+            cutv = cutlb_ref[r, 0, :][:, None] + cutth_ref[0, :][None, :]
+            cur = jnp.where(cur >= cutv, INF, cur)
+            g_row = row_base + r
+            cols_i = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 0)
+            hit = (
+                (seedrc_ref[0, :][None, :] == g_row)
+                & (seedrc_ref[1, :][None, :] == cols_i)
+            )
+            cur = jnp.where(hit, 0.0, cur)
         cross = cross_ref[r]                 # [3, Cp] f32
         # inbound from the carried row: source columns c-1, c, c+1
         cand = jnp.minimum(
@@ -913,6 +1068,9 @@ def _directional_pass_pallas(
     l2b: jax.Array,
     wback: jax.Array,    # [Rp, 2, Cp]
     dirty: jax.Array,    # [n_j, Rp] i32 rows whose last scan still improved
+    warm_cut_args=None,  # (cutlb [Rp, Cp] f32, cutth [1, Bp] f32,
+                         #  seedrc [2, Bp] i32) -> fold raise-invalidation +
+                         # reseed into the load (warm resolve fast path)
     *,
     reverse: bool,
     rb: int,
@@ -966,10 +1124,32 @@ def _directional_pass_pallas(
             vmem_limit_bytes=int(min(vmem_need, 100 << 20))
         )
     )
+    warm_cut = warm_cut_args is not None
+    if warm_cut:
+        cutlb, cutth, seedrc = warm_cut_args
+        cutlb = cutlb[:, None, :]           # [Rp, 1, Cp]: 2D (rb, Cp)
+        # blocks violate the Mosaic (8, 128)-divisibility rule at small rb
+        cut_specs = [
+            pl.BlockSpec((rb, 1, Cp), pmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bb), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        cutlb = jnp.zeros((1, 1, 8), jnp.float32)
+        cutth = jnp.zeros((1, 8), jnp.float32)
+        seedrc = jnp.zeros((2, 8), jnp.int32)
+        cut_specs = [
+            pl.BlockSpec((1, 1, 8), lambda j, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), ymap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 8), ymap, memory_space=pltpu.VMEM),
+        ]
     out, chg, dirty_out = pl.pallas_call(
         functools.partial(
             _pass_kernel, rb, n_scan, n_scan2, reverse, atol, rtol, skip,
-            force, use_dirty, xlanes, defer,
+            force, use_dirty, xlanes, defer, warm_cut,
         ),
         compiler_params=compiler_params,
         grid=(n_j, n_i),
@@ -983,7 +1163,7 @@ def _directional_pass_pallas(
             pl.BlockSpec((rb, S2, NB), pmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 2, Cp), pmap, memory_space=pltpu.VMEM),
             pl.BlockSpec(dirty_shape, ymap, memory_space=pltpu.SMEM),
-        ],
+        ] + cut_specs,
         out_specs=[
             pl.BlockSpec((rb, Cp, bb), dmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
@@ -1000,7 +1180,8 @@ def _directional_pass_pallas(
         ],
         input_output_aliases={0: 0, 8: 2},
         interpret=interpret,
-    )(d, cross, a_fwd, a_bwd, xcross, l2f, l2b, wback, dirty)
+    )(d, cross, a_fwd, a_bwd, xcross, l2f, l2b, wback, dirty,
+      cutlb, cutth, seedrc)
     return out, chg[0, 0] > 0, dirty_out
 
 
@@ -1367,13 +1548,13 @@ def banded_solve_padded(
         l2f_t = l2b_t = jnp.full((Ctp, 1, 128), INF, jnp.float32)
         wback_t = jnp.full((Ctp, 2, Rp), INF, jnp.float32)
 
-    def one_round(d, dirty, dirty_t, force=False):
+    def one_round(d, dirty, dirty_t, force=False, cut=None):
         d_round_start = d
         d, chg_dn, dirty = _directional_pass_pallas(
             d, down,
             a_fwd[:, :1] if defer_down else a_fwd,
             a_bwd[:, :1] if defer_down else a_bwd,
-            xdown, l2f, l2b, wback, dirty, reverse=False, rb=rb, bb=bb,
+            xdown, l2f, l2b, wback, dirty, cut, reverse=False, rb=rb, bb=bb,
             n_scan=0 if defer_down else n_scan,
             n_scan2=0 if defer_down else n_scan2,
             atol=atol, rtol=rtol, interpret=interpret,
@@ -1487,16 +1668,38 @@ def banded_solve_padded(
             mask, ((0, Rp - mask.shape[0]), (0, 0)), constant_values=False
         )
         wd32 = warm_d.astype(jnp.float32)
-        thresh = jnp.min(
-            jnp.where(mask_p[:, :, None], wd32, INF), axis=(0, 1)
-        )                                                    # [Bp]
+        # per-lane threshold = min d_prev over the changed set. The masked
+        # min only needs the changed ROWS — slice a static window around
+        # them (a sensed obstacle spans a few rows; full-field min costs a
+        # whole 0.5 GB read at 1M x 128) with an in-jit full fallback
+        WT = 32
+        rows_m = mask_p.any(axis=1)
+        ridx = jnp.arange(Rp)
+        r_a = jnp.min(jnp.where(rows_m, ridx, Rp))
+        r_b = jnp.max(jnp.where(rows_m, ridx, -1))
+        fits_t = (r_b >= r_a) & (r_b - r_a + 1 <= WT) & (Rp >= WT)
+        t0r = jnp.clip(r_a, 0, max(Rp - WT, 0))
+
+        def th_win():
+            wd_w = jax.lax.dynamic_slice(
+                wd32, (t0r, 0, 0), (min(WT, Rp), Cp, Bp)
+            )
+            m_w = jax.lax.dynamic_slice(
+                mask_p, (t0r, 0), (min(WT, Rp), Cp)
+            )
+            return jnp.min(jnp.where(m_w[:, :, None], wd_w, INF), axis=(0, 1))
+
+        def th_full():
+            return jnp.min(jnp.where(mask_p[:, :, None], wd32, INF), axis=(0, 1))
+
+        thresh = jax.lax.cond(fits_t, th_win, th_full)       # [Bp]
         # the previous solve is only tolerance-exact, so shave the
         # threshold by the tolerance envelope — over-invalidation costs a
         # little re-solve work, under-invalidation would leave labels up to
         # ~rtol below their new true distance (invisible to the check,
         # which only certifies labels from above)
         thresh = thresh * (1.0 - 2.0 * rtol) - 2.0 * atol
-        cut = thresh[None, None, :]
+        lb_plane = jnp.zeros((Rp, Cp), jnp.float32)
         if warm_pos is not None:
             # geodesic-SHADOW refinement: an affected label's old path
             # entered the changed set at some u, so d_prev[x] >=
@@ -1520,21 +1723,26 @@ def banded_solve_padded(
                 jnp.sum((pos - ctr[:, None, None]) ** 2, axis=0)
             )                                                # [Rp, Cp]
             r_enc = jnp.max(jnp.where(chm, dc, 0.0))
-            lb = jnp.maximum(dc - r_enc, 0.0)
-            cut = cut + lb[:, :, None]
-        d_start = jnp.where(wd32 >= cut, INF, warm_d).astype(d0.dtype)
-        # re-seed (a seed inside the changed disc is invalidated above)
+            lb_plane = jnp.maximum(dc - r_enc, 0.0)
+        # the cut (invalidate labels >= lb + thresh) and the seed
+        # re-insertion are FOLDED into the first down pass's loads
+        # (warm_cut_args) — materializing d_start separately costs one full
+        # field read+write round trip (~1 GB at 1M x 128)
         rows_s = seeds // C
         cols_s = seeds % C
-        d_start = d_start.reshape(Rp * Cp, Bp).at[
-            rows_s * Cp + cols_s, jnp.arange(B)
-        ].set(0.0).reshape(Rp, Cp, Bp)
+        seedrc = jnp.full((2, Bp), -1, jnp.int32)
+        seedrc = seedrc.at[0, :B].set(rows_s.astype(jnp.int32))
+        seedrc = seedrc.at[1, :B].set(cols_s.astype(jnp.int32))
+        cutth = thresh[None, :].astype(jnp.float32)          # [1, Bp]
         row_dirty = mask_p.any(axis=1)
         row_dirty = row_dirty.at[rows_s].set(True)
         dirty0 = jnp.broadcast_to(
             row_dirty[None, :].astype(jnp.int32), (n_j, Rp)
         )
-        d1, dirty1, dirty1_t, chg0 = one_round(d_start, dirty0, dirty0_t)
+        d1, dirty1, dirty1_t, chg0 = one_round(
+            warm_d.astype(d0.dtype), dirty0, dirty0_t,
+            cut=(lb_plane, cutth, seedrc),
+        )
     else:
         d1, dirty1, dirty1_t, chg0 = one_round(d0, dirty0, dirty0_t, force=True)
 
@@ -1877,6 +2085,10 @@ def _check_kernel(
     w8_ref,      # [rb, 8, Cp] in-edge weight planes
     viol_ref,    # [1, 1] SMEM: any supra-tolerance violation
 ):
+    # NOTE a sublane-major [rb, Cp, 8] weight layout (to skip the per-class
+    # lane->sublane broadcast relayout) ICEs the Mosaic compiler (8-lane
+    # minor dim); measured anyway: rb 4..32 all land at ~8 ms at 1M x 128 —
+    # the kernel is VPU-op-bound (~35 op-steps/element), not relayout-bound
     j = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -1884,7 +2096,7 @@ def _check_kernel(
     def _():
         viol_ref[0, 0] = jnp.int32(0)
 
-    viol = jnp.bool_(False)
+    acc = None
     for r in range(rb):
         cur = dist_ref[r].astype(jnp.float32)
         up_row = (dist_ref[r - 1] if r > 0 else up_ref[0]).astype(jnp.float32)
@@ -1899,8 +2111,9 @@ def _check_kernel(
         best = jnp.full(cur.shape, INF, jnp.float32)
         for k in range(8):
             best = jnp.minimum(best, srcs[k] + w8_ref[r, k, :][:, None])
-        viol |= jnp.any(best * (1.0 + rtol) + atol < cur)
-    viol_ref[0, 0] |= viol.astype(jnp.int32)
+        bad = best * (1.0 + rtol) + atol < cur
+        acc = bad if acc is None else (acc | bad)   # one reduce per block
+    viol_ref[0, 0] |= jnp.any(acc).astype(jnp.int32)
 
 
 @functools.partial(
@@ -1908,7 +2121,7 @@ def _check_kernel(
 )
 def _check_pallas_padded(
     d: jax.Array,        # [Rp, Cp, Bp]
-    w8: jax.Array,       # [Rp, 8, Cp]
+    w8s: jax.Array,      # [Rp, 8, Cp]
     *,
     rb: int,
     bb: int,
@@ -1917,8 +2130,25 @@ def _check_pallas_padded(
     interpret: bool = False,
 ):
     Rp, Cp, Bp = d.shape
+    # block model: double-buffered center rows + halos + w8 planes + ~14
+    # scoped temporaries + one live `bad` accumulator slab per unrolled row
+    # (the deferred any() keeps them alive) — size the per-kernel limit to
+    # it (v5e VMEM = 128 MB)
+    vmem_need = (
+        2 * rb * Cp * bb * jnp.dtype(d.dtype).itemsize
+        + 4 * Cp * bb * 4 + 2 * rb * 8 * Cp * 4
+        + (14 + rb) * Cp * bb * 4 + (8 << 20)   # +slack: Mosaic's scoped
+        # accounting measured 20.2M at rb=4/Cp=1024/bb=128 vs 17.3M modeled
+    )
+    compiler_params = (
+        None if interpret
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(vmem_need, 100 << 20))
+        )
+    )
     viol = pl.pallas_call(
         functools.partial(_check_kernel, rb, atol, rtol),
+        compiler_params=compiler_params,
         grid=(Bp // bb, Rp // rb),
         in_specs=[
             pl.BlockSpec((rb, Cp, bb), lambda j, i: (i, 0, j),
@@ -1937,12 +2167,14 @@ def _check_pallas_padded(
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
         interpret=interpret,
-    )(d, d, d, w8)
+    )(d, d, d, w8s)
     return viol[0, 0] > 0
 
 
-def _w8_planes(plan: BandedKernelPlan, Rp: int) -> jax.Array:
-    """[Rp, 8, Cp] in-edge weight planes in _class_offsets order."""
+def _w8_planes(plan: BandedKernelPlan, Rp: int, *, axis: int = 1) -> jax.Array:
+    """In-edge weight planes in _class_offsets order: [Rp, 8, Cp] (axis=1,
+    the pred kernel's layout) or [Rp, Cp, 8] (axis=2, sublane-major for the
+    check kernel's lane-broadcasts)."""
     def pad_rows(p):
         return jnp.pad(
             p, [(0, Rp - plan.n_rows)] + [(0, 0)] * (p.ndim - 1),
@@ -1960,7 +2192,7 @@ def _w8_planes(plan: BandedKernelPlan, Rp: int) -> jax.Array:
             pad_rows(plan.up[:, 1, :]),
             pad_rows(plan.up[:, 2, :]),
         ],
-        axis=1,
+        axis=axis,
     )
 
 
@@ -1981,13 +2213,13 @@ def check_converged_banded(
     if interpret is None:
         interpret = not pallas_available()
     Rp, Cp, Bp = d_pad.shape
-    w8 = _w8_planes(plan, Rp)
+    w8s = _w8_planes(plan, Rp)
     if interpret:
         rb, bb = 2, Bp
     else:
         rb, bb = _pick_pred_blocks(Rp, Cp, dtype=d_pad.dtype)
     viol = _check_pallas_padded(
-        d_pad, w8, rb=rb, bb=bb, atol=atol, rtol=rtol, interpret=interpret
+        d_pad, w8s, rb=rb, bb=bb, atol=atol, rtol=rtol, interpret=interpret
     )
     if plan.n_residual:
         dflat = d_pad.reshape(Rp * Cp, Bp).astype(jnp.float32)

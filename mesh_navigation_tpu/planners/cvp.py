@@ -320,8 +320,11 @@ class CVPPlanner:
         # (32, 4) was the 41-round configuration.
         # orderings=2 (alternating diagonal pairs): measured 1.60 s/3 rounds
         # -> 1.17 s/4 rounds at 1M x 128
+        # rtol 2e-3: same stopping envelope as the Dijkstra path (the last
+        # rounds only confirm ~1e-3-scale refinements); the bench gates the
+        # walked-path parity vs the native FMM oracle at 1% either way
         res = _pe.eikonal_solve_padded(
-            kernel_plan, g_vids, seed_d, atol=1e-4, rtol=1e-3,
+            kernel_plan, g_vids, seed_d, atol=1e-4, rtol=2e-3,
             init_vb=init_vb, cw=8, n_inner=8, orderings=2,
         )
         R, C, Cp = kernel_plan.n_rows, kernel_plan.n_cols, kernel_plan.n_cols_pad
