@@ -30,7 +30,7 @@ import functools
         "origin", "cell_size", "dims", "cell_start", "sorted_vertices",
         "cell_pos", "cell_vid",
     ),
-    meta_fields=("max_per_cell",),
+    meta_fields=("max_per_cell", "flat_z"),
 )
 @dataclasses.dataclass(frozen=True)
 class SpatialGrid:
@@ -41,6 +41,7 @@ class SpatialGrid:
     cell_start: jax.Array    # [C+1] i32 prefix offsets into sorted_vertices
     sorted_vertices: jax.Array  # [V] i32 vertex ids sorted by cell
     max_per_cell: int = 32   # static: probes sized to this are EXACT
+    flat_z: bool = False     # static: cells are full-height z COLUMNS
     # dense cell tables (built when C * P is modest): positions padded with
     # +inf so empty slots never win the argmin. They turn the per-candidate
     # 12-byte position gathers of nearest_vertex into [27] row-gathers of
@@ -50,8 +51,25 @@ class SpatialGrid:
     cell_vid: jax.Array | None = None   # [C, P] i32
 
 
-def build_grid(mesh: MeshArrays, cell_size: float | None = None) -> SpatialGrid:
-    """Host-side grid build. Default cell size ≈ 2x mean edge length."""
+def build_grid(
+    mesh: MeshArrays,
+    cell_size: float | None = None,
+    *,
+    flatten_z: bool | None = None,
+) -> SpatialGrid:
+    """Host-side grid build. Default cell size ≈ 2x mean edge length.
+
+    `flatten_z` (auto: on when the mesh spans ≤ 8 cells of height) collapses
+    the z axis so each cell is a full-height COLUMN. A navigation query is
+    typically offset from the 2D-manifold surface along z (a robot pose at
+    z=0 over terrain at z≈2.5); a 3×3×3 probe around the query's own z-cell
+    then sees only EMPTY cells and the snap degrades to garbage — the r4
+    irregular-bench parity failure (44.5 rel err: the batched snap seeded
+    solves at arbitrary far vertices). Column cells make the 3×3 xy probe
+    cover every vertex within one xy cell ring at ANY height, which is the
+    exactness the kd-tree gave the reference (mesh_map.cpp:1161-1174).
+    Tall genuinely-3D meshes keep the 3D grid (their surface fills z-cells,
+    so near-surface queries probe non-empty cells)."""
     pos = host_array(mesh, "vertices")
     if cell_size is None:
         ed = host_array(mesh, "edge_dist")
@@ -59,6 +77,10 @@ def build_grid(mesh: MeshArrays, cell_size: float | None = None) -> SpatialGrid:
     origin = pos.min(axis=0) - 1e-4
     extent = pos.max(axis=0) - origin + 1e-3
     dims = np.maximum(np.ceil(extent / cell_size).astype(np.int64), 1)
+    if flatten_z is None:
+        flatten_z = dims[2] <= 8
+    if flatten_z:
+        dims[2] = 1   # device side needs no change: clip() maps any z to 0
     cell = np.floor((pos - origin) / cell_size).astype(np.int64)
     cell = np.clip(cell, 0, dims - 1)
     cid = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
@@ -86,6 +108,7 @@ def build_grid(mesh: MeshArrays, cell_size: float | None = None) -> SpatialGrid:
         cell_start=jnp.asarray(cell_start),
         sorted_vertices=jnp.asarray(order.astype(np.int32)),
         max_per_cell=P,
+        flat_z=bool(flatten_z),
         cell_pos=cell_pos,
         cell_vid=cell_vid,
     )
@@ -109,9 +132,11 @@ def nearest_vertex(
         probe = max(1, grid.max_per_cell)
     cell = jnp.floor((point - grid.origin) / grid.cell_size).astype(jnp.int32)
     cell = jnp.clip(cell, 0, grid.dims - 1)
+    zr = jnp.arange(0, 1) if grid.flat_z else jnp.arange(-1, 2)
     offsets = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
-    ).reshape(-1, 3)                                           # [27, 3]
+        jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), zr, indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)                            # [27, 3] (or [9, 3] columns)
     nb = cell[None, :] + offsets
     ok = jnp.all((nb >= 0) & (nb < grid.dims[None, :]), axis=-1)
     nb = jnp.clip(nb, 0, grid.dims - 1)
@@ -145,9 +170,11 @@ def nearest_vertex_batch(
         return jax.vmap(lambda p: nearest_vertex(mesh, grid, p))(points)
     cell = jnp.floor((points - grid.origin) / grid.cell_size).astype(jnp.int32)
     cell = jnp.clip(cell, 0, grid.dims - 1)
+    zr = jnp.arange(0, 1) if grid.flat_z else jnp.arange(-1, 2)
     offsets = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
-    ).reshape(-1, 3)                                        # [27, 3]
+        jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), zr, indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)                            # [27, 3] (or [9, 3] columns)
     nb = cell[:, None, :] + offsets[None, :, :]             # [B, 27, 3]
     ok = jnp.all((nb >= 0) & (nb < grid.dims[None, None, :]), axis=-1)
     nb = jnp.clip(nb, 0, grid.dims - 1)

@@ -258,108 +258,131 @@ class CVPPlanner:
                     self._dij_plan = None
         return plan
 
-    @functools.partial(jax.jit, static_argnums=0)
     def plan_batch_banded(
         self,
         edge_weights: jax.Array,   # [E] (side lengths; lazy path re-derivation)
         kernel_plan,               # ops.pallas_eikonal.EikonalKernelPlan
         starts: jax.Array,         # [B, 3]
         goals: jax.Array,          # [B, 3]
-        warm_plan=None,            # BandedKernelPlan (pass self._dij_plan —
-                                   # as an ARGUMENT so its ~160 MB of planes
-                                   # don't ship as HLO constants; remote
-                                   # compile rejects those with HTTP 413)
+        warm_plan=None,            # BandedKernelPlan (pass self._dij_plan)
     ) -> PlanResult:
         """Batched CVP at scale: the wavefront runs as four-directional
         banded GS fast sweeps (O(winding) rounds, no [F, 3, B] gather
         tensors); the path is recovered by LAZY triangle-update descent
         (cvp_descend_paths) so no [B, V] pred map, θ map, or [B, V, 3]
         vector field ever materializes. potential/cost match
-        waveFrontPropagation's fixed point; vector_map/pred are None."""
-        from mesh_navigation_tpu.ops import pallas_eikonal as _pe
+        waveFrontPropagation's fixed point; vector_map/pred are None.
 
-        mesh = self.mesh
-        B = starts.shape[0]
-
-        def locate_goal(g):
-            g_face, _, _, g_found = query.containing_face(mesh, self.grid, g)
-            g_vids = mesh.faces[jnp.maximum(g_face, 0)]
-            seed_d = jnp.linalg.norm(mesh.vertices[g_vids] - g, axis=-1)
-            return g_vids, seed_d.astype(jnp.float32), g_found
-
-        g_vids, seed_d, g_found = jax.vmap(locate_goal)(goals)   # [B,3],[B,3]
-        seed_d = jnp.where(g_found[:, None], seed_d, jnp.inf)
-        # warm start: one banded Dijkstra solve bounds the eikonal field
-        # from above (graph paths are triangle paths too); the eikonal
-        # rounds then only close the corner-cutting gap
-        init_vb = None
+        EVERY mesh-sized table (MeshArrays, SpatialGrid, the target mask,
+        the warm-start Dijkstra plan) rides as a jit ARGUMENT of the
+        module-level `_plan_batch_banded_impl` — closed-over device arrays
+        get baked into the serialized HLO as constants, which at 1M is
+        ~hundreds of MB and trips the remote-compile transport (HTTP 413;
+        the make_replan_step lesson, api/server.py)."""
         if warm_plan is None:
             warm_plan = getattr(self, "_dij_plan", None)
-        if warm_plan is not None:
-            from mesh_navigation_tpu.ops import pallas_banded as _pb
+        return _plan_batch_banded_impl(
+            self.mesh, self.grid, edge_weights, kernel_plan,
+            starts, goals, warm_plan, getattr(self, "_target_ok", None),
+            max_path_len=self.max_path_len,
+        )
 
-            dp = warm_plan
-            dres = _pb.banded_solve_padded(
-                dp, g_vids[:, 0], max_rounds=64, atol=1e-4, rtol=2e-3
-            )
-            Rd, Cd = dp.n_rows, dp.n_cols
-            dij_vb = (
-                dres.d_pad[:Rd, :Cd, :B].reshape(Rd * Cd, B)[: mesh.num_vertices]
-            )                                                   # [V, B]
-            init_vb = dij_vb + seed_d[:, 0][None, :]
-            if self._target_ok is not None:
-                init_vb = jnp.where(
-                    self._target_ok[:, None], init_vb, jnp.inf
-                )
-        # cw = n_inner = 8: FULL in-chunk Gauss-Seidel freshness — a wave
-        # crosses a whole row per pass in the chunk direction AND the
-        # opposite direction, so the 4-ordering FSM converges in O(winding)
-        # rounds as designed. Measured at 1M x 128 (dij-warm): rounds
-        # 41 -> 3, solve 9.26 s -> 1.83 s. Partial freshness loses hard:
-        # (cw=16, n_inner=8) -> 11 rounds / 4.6 s; the r3 default
-        # (32, 4) was the 41-round configuration.
-        # orderings=2 (alternating diagonal pairs): measured 1.60 s/3 rounds
-        # -> 1.17 s/4 rounds at 1M x 128
-        # rtol 2e-3: same stopping envelope as the Dijkstra path (the last
-        # rounds only confirm ~1e-3-scale refinements); the bench gates the
-        # walked-path parity vs the native FMM oracle at 1% either way
-        res = _pe.eikonal_solve_padded(
-            kernel_plan, g_vids, seed_d, atol=1e-4, rtol=2e-3,
-            init_vb=init_vb, cw=8, n_inner=8, orderings=2,
-        )
-        R, C, Cp = kernel_plan.n_rows, kernel_plan.n_cols, kernel_plan.n_cols_pad
-        V = kernel_plan.num_vertices
-        dist = res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].T     # [B, V]
 
-        start_v = query.nearest_vertex_batch(mesh, self.grid, starts)[0]
-        lane = jnp.arange(B)
-        seed_mask = jnp.zeros((B, V), bool).at[lane[:, None], g_vids].set(True)
-        path, valid = _pe.cvp_descend_paths(
-            mesh, edge_weights, dist, start_v, seed_mask, self.max_path_len,
-            tol=5e-3,
+@functools.partial(jax.jit, static_argnames=("max_path_len",))
+def _plan_batch_banded_impl(
+    mesh: MeshArrays,
+    grid: query.SpatialGrid,
+    edge_weights: jax.Array,
+    kernel_plan,
+    starts: jax.Array,
+    goals: jax.Array,
+    warm_plan,
+    target_ok,
+    *,
+    max_path_len: int,
+) -> PlanResult:
+    """Jitted body of CVPPlanner.plan_batch_banded (see its docstring).
+    mesh/grid/warm_plan/target_ok are pytree arguments by design — do not
+    close over them (remote-compile program-size limit)."""
+    from mesh_navigation_tpu.ops import pallas_eikonal as _pe
+
+    B = starts.shape[0]
+
+    def locate_goal(g):
+        g_face, _, _, g_found = query.containing_face(mesh, grid, g)
+        g_vids = mesh.faces[jnp.maximum(g_face, 0)]
+        seed_d = jnp.linalg.norm(mesh.vertices[g_vids] - g, axis=-1)
+        return g_vids, seed_d.astype(jnp.float32), g_found
+
+    g_vids, seed_d, g_found = jax.vmap(locate_goal)(goals)   # [B,3],[B,3]
+    seed_d = jnp.where(g_found[:, None], seed_d, jnp.inf)
+    # warm start: one banded Dijkstra solve bounds the eikonal field
+    # from above (graph paths are triangle paths too); the eikonal
+    # rounds then only close the corner-cutting gap
+    init_vb = None
+    if warm_plan is not None:
+        from mesh_navigation_tpu.ops import pallas_banded as _pb
+
+        dp = warm_plan
+        dres = _pb.banded_solve_padded(
+            dp, g_vids[:, 0], max_rounds=64, atol=1e-4, rtol=2e-3
         )
-        positions = mesh.vertices[path]
-        quats, cost = jax.vmap(pose_chain)(
-            positions, valid, mesh.vertex_normals[path]
-        )
-        reached = jnp.isfinite(dist[lane, start_v]) & g_found
-        outcome = jnp.where(
-            ~g_found,
-            Outcome.INVALID_GOAL,
-            jnp.where(reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND),
-        ).astype(jnp.int32)
-        return PlanResult(
-            outcome=outcome,
-            path_positions=positions,
-            path_quats=quats,
-            path_valid=valid & reached[:, None],
-            # cost = WALKED path cost (summed segment lengths over the
-            # descended chain, same contract as the Dijkstra path and the
-            # reference's returned plan cost), not the potential at the
-            # start vertex — the two differ when the descent terminates
-            # early or the tolerance reroutes a hop
-            cost=jnp.where(reached, cost, jnp.inf),
-            potential=dist,
-            vector_map=None,
-            pred=None,
-        )
+        Rd, Cd = dp.n_rows, dp.n_cols
+        dij_vb = (
+            dres.d_pad[:Rd, :Cd, :B].reshape(Rd * Cd, B)[: mesh.num_vertices]
+        )                                                   # [V, B]
+        init_vb = dij_vb + seed_d[:, 0][None, :]
+        if target_ok is not None:
+            init_vb = jnp.where(target_ok[:, None], init_vb, jnp.inf)
+    # cw = n_inner = 8: FULL in-chunk Gauss-Seidel freshness — a wave
+    # crosses a whole row per pass in the chunk direction AND the
+    # opposite direction, so the 4-ordering FSM converges in O(winding)
+    # rounds as designed. Measured at 1M x 128 (dij-warm): rounds
+    # 41 -> 3, solve 9.26 s -> 1.83 s. Partial freshness loses hard:
+    # (cw=16, n_inner=8) -> 11 rounds / 4.6 s; the r3 default
+    # (32, 4) was the 41-round configuration.
+    # orderings=2 (alternating diagonal pairs): measured 1.60 s/3 rounds
+    # -> 1.17 s/4 rounds at 1M x 128
+    # rtol 2e-3: same stopping envelope as the Dijkstra path (the last
+    # rounds only confirm ~1e-3-scale refinements); the bench gates the
+    # walked-path parity vs the native FMM oracle at 1% either way
+    res = _pe.eikonal_solve_padded(
+        kernel_plan, g_vids, seed_d, atol=1e-4, rtol=2e-3,
+        init_vb=init_vb, cw=8, n_inner=8, orderings=2,
+    )
+    R, C, Cp = kernel_plan.n_rows, kernel_plan.n_cols, kernel_plan.n_cols_pad
+    V = kernel_plan.num_vertices
+    dist = res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].T     # [B, V]
+
+    start_v = query.nearest_vertex_batch(mesh, grid, starts)[0]
+    lane = jnp.arange(B)
+    seed_mask = jnp.zeros((B, V), bool).at[lane[:, None], g_vids].set(True)
+    path, valid = _pe.cvp_descend_paths(
+        mesh, edge_weights, dist, start_v, seed_mask, max_path_len,
+        tol=5e-3,
+    )
+    positions = mesh.vertices[path]
+    quats, cost = jax.vmap(pose_chain)(
+        positions, valid, mesh.vertex_normals[path]
+    )
+    reached = jnp.isfinite(dist[lane, start_v]) & g_found
+    outcome = jnp.where(
+        ~g_found,
+        Outcome.INVALID_GOAL,
+        jnp.where(reached, Outcome.SUCCESS, Outcome.NO_PATH_FOUND),
+    ).astype(jnp.int32)
+    return PlanResult(
+        outcome=outcome,
+        path_positions=positions,
+        path_quats=quats,
+        path_valid=valid & reached[:, None],
+        # cost = WALKED path cost (summed segment lengths over the
+        # descended chain, same contract as the Dijkstra path and the
+        # reference's returned plan cost), not the potential at the
+        # start vertex — the two differ when the descent terminates
+        # early or the tolerance reroutes a hop
+        cost=jnp.where(reached, cost, jnp.inf),
+        potential=dist,
+        vector_map=None,
+        pred=None,
+    )
