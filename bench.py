@@ -477,9 +477,14 @@ def main():
             )
             # CVP parity vs the NATIVE fast-marching oracle
             # (cvp_mesh_planner.cpp:651-886 semantics) — gated like the
-            # Dijkstra lines (VERDICT r3 weak #2)
+            # Dijkstra lines (VERDICT r3 weak #2). Re-solve on (s_c, g_c):
+            # the timing loop's out_c belongs to its own last draw, so
+            # checking it against the warmup goals compares mismatched
+            # lanes (a guaranteed bogus gate failure)
             from mesh_navigation_tpu import native as _native
 
+            out_c = cfn(ew_dev, ckplan, s_c, g_c, dij_plan)
+            jax.block_until_ready(out_c.cost)
             if _native.available():
                 nm_c = _native.NativeMesh(vpos, _ha(mesh, "faces"))
                 gl = jax.vmap(

@@ -20,6 +20,7 @@ The ROS action protocol, executors and DDS topics are out of scope by design
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import numpy as np
@@ -41,6 +42,19 @@ from mesh_navigation_tpu.planners.common import PlanResult
 
 
 PLANNER_KINDS = {"dijkstra": DijkstraPlanner, "cvp": CVPPlanner}
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "cost_limit"))
+def _refresh_base_planes(plan0, combined0, factor, cost_limit):
+    """Full-plane weight refresh for make_replan_step's no-obstacle base —
+    module-level so repeated step-builder calls hit the jit cache instead of
+    recompiling the ~60 MB refresh each time (a fresh jit(lambda) has a new
+    identity every call)."""
+    from mesh_navigation_tpu.ops import pallas_banded as _pb
+
+    return _pb.refresh_banded_planes_from_costs(
+        plan0, combined0, edge_cost_factor=factor, cost_limit=cost_limit
+    )
 
 
 class MeshNavServer:
@@ -153,7 +167,8 @@ class MeshNavServer:
         self._refresh_costs(structural=False)
         self.layer_state.pop(f"obstacle:{layer_name}:points", None)
 
-    def make_replan_step(self, layer_name: str):
+    def make_replan_step(self, layer_name: str, *,
+                         inflation_window=(64, 128)):
         """One-jit live-replan cascade — the FULL §3.5 change path at
         replanning rate: point cloud -> obstacle raycast (process_point_cloud)
         -> layer DAG re-evaluation (inflation wavefront, combination) ->
@@ -202,12 +217,15 @@ class MeshNavServer:
         # base planes for the NO-OBSTACLE combined costs, cached once: each
         # update's combined field differs from this base only around the
         # sensed obstacle, so the per-step refresh rewrites just those plane
-        # rows (refresh_banded_planes_rows) instead of all ~60 MB of planes
-        base_planes = jax.jit(
-            lambda c: _pb.refresh_banded_planes_from_costs(
-                plan0, c, edge_cost_factor=factor, cost_limit=cost_limit
-            )
-        )(combined0)
+        # rows (refresh_banded_planes_rows) instead of all ~60 MB of planes.
+        # NOTE the module-level jitted helper (not a fresh jit(lambda) per
+        # call, which would defeat the jit cache and recompile the ~60 MB
+        # refresh every time a step builder is made); the base planes stay
+        # resident for the life of the returned step — ~60 MB at 1M on top
+        # of the live planes, the price of the rows-only refresh
+        base_planes = _refresh_base_planes(
+            plan0, combined0, factor, cost_limit
+        )
 
         # base_planes/combined0 ride as jit ARGUMENTS (closure device arrays
         # get baked into the serialized HLO — ~120 MB of planes would trip
@@ -215,6 +233,10 @@ class MeshNavServer:
         def _step(bplanes, comb0, points, prev_costs, d_prev, seeds):
             st = dict(base_state)
             st[key_pts] = points
+            # live replan = small changed region: opt the inflation wavefront
+            # into the windowed sub-plane solve (full-plane fallback stays
+            # in-jit; static builds keep the plain full solve by default)
+            st["__inflation_window__"] = inflation_window
             st["__factors__"] = {c.name: c.factor for c in stack.configs}
             outputs = dict(cached_outputs)
             for name in stack.order:

@@ -60,7 +60,7 @@ def fading(distance: jax.Array, p: InflationParams) -> jax.Array:
 
 def inflation_distances(
     mesh: MeshArrays, lethal: jax.Array, p: InflationParams,
-    *, max_sweeps: int = 0, sethian_plan=None, window=(64, 128),
+    *, max_sweeps: int = 0, sethian_plan=None, window=None,
 ) -> eikonal.EikonalResult:
     """Geodesic distance from the lethal set over raw edge distances
     (inflation uses `edge_distances`, not cost weights —
@@ -70,8 +70,11 @@ def inflation_distances(
     shift-based dense-pattern solve (ops/banded_sethian.py) — same fixed
     point, no [F, 3] gathers; the cap keeps it a few rounds at any scale.
     `window` positions a static-shape sub-plane around the lethal set
-    (live-replan fast path, certified exact with in-jit fallback); None
-    forces full-plane rounds.
+    (live-replan fast path, certified exact with in-jit fallback). Default
+    None = full-plane rounds: the windowed path is OPT-IN (the replan
+    cascade passes it via layer state) because for global static lethal
+    sets the bbox never fits the window and the nested fallback conds trace
+    the full solve twice, bloating HLO and compile time for pure overhead.
     """
     seed = jnp.where(lethal, 0.0, INF).astype(jnp.float32)
     if sethian_plan is not None:
@@ -240,7 +243,8 @@ def make_inflation(cfg: LayerConfig):
         else:
             lethal = jnp.zeros(mesh.num_vertices, bool)
         res = inflation_distances(
-            mesh, lethal, p, sethian_plan=state.get("__sethian_plan__")
+            mesh, lethal, p, sethian_plan=state.get("__sethian_plan__"),
+            window=state.get("__inflation_window__"),
         )
         costs = jnp.where(jnp.isfinite(res.dist), fading(res.dist, p), 0.0)
         vectors = (

@@ -69,13 +69,20 @@ class SethianPlan:
     invalid_plane: jax.Array  # [R, Cp] bool — invalid vertices never update
 
 
+# dense-pattern reach: _decompose bounds |dr| / |dc|, and the windowed
+# solve's border-certificate widths and margin are DERIVED from these so the
+# coupling can't silently break (see sethian_distances_banded)
+MAX_DR = 2
+MAX_DC = 4
+
+
 def _decompose(off: int, n: int, col: np.ndarray):
     """Split id-offset `off` into (dr, dc) with the column staying in-band.
     Returns (dr, dc, valid_mask_per_row_position)."""
     best = None
-    for dr in (-2, -1, 0, 1, 2):
+    for dr in range(-MAX_DR, MAX_DR + 1):
         dc = off - dr * n
-        if abs(dc) <= 4:
+        if abs(dc) <= MAX_DC:
             ok = (col + dc >= 0) & (col + dc < n)
             if best is None or abs(dc) < abs(best[1]):
                 best = (dr, dc, ok)
@@ -342,6 +349,11 @@ def sethian_distances_banded(
     cmax = jnp.max(jnp.where(cols_any, idx_c, -1))
     has_seeds = jnp.any(rows_any)
     margin = 8  # room for the wave to grow before the border certificate
+    # the border certificate's seed exclusion (fin & border & ~sw) is sound
+    # only while the seed bbox sits >= the border widths away from the
+    # window edges; margin enforces that, so it must dominate the pattern
+    # reach the border bands are sized to
+    assert margin >= max(MAX_DR, MAX_DC), (margin, MAX_DR, MAX_DC)
     fits = (
         has_seeds
         & (rmax - rmin + 1 + 2 * margin <= wr)
@@ -369,7 +381,10 @@ def sethian_distances_banded(
         # a band touching the PLANE edge borders +inf padding anyway, but
         # keeping the check there is harmless (seeds are excluded; a seed
         # hugging the map border stays on the full-solve path via `fits`)
-        border = (rr < 2) | (rr >= wr - 2) | (cc < 4) | (cc >= wc - 4)
+        border = (
+            (rr < MAX_DR) | (rr >= wr - MAX_DR)
+            | (cc < MAX_DC) | (cc >= wc - MAX_DC)
+        )
         dense_clean = ~jnp.any(fin & border & ~sw)
         if has_res:
             def in_win_val(ids_flat):

@@ -769,10 +769,46 @@ def cvp_descend_paths(
         new_alive = alive & ~at_goal & descends
         return (jnp.where(new_alive, nxt, v), new_alive), (v, alive)
 
-    (_, _), (path, valid) = jax.lax.scan(
-        step, (start_v, jnp.ones(B, bool)), None, length=max_len
+    # chunked EARLY EXIT: the per-step triangle re-derivation is the
+    # expensive part of the CVP scale path (~580 ms of a ~1.8 s solve at
+    # 1M x 128), and a fixed-length scan always pays for max_len (3072)
+    # steps while the longest real path in a batch is typically ~1-1.3k
+    # hops. A while_loop over CHUNK-step scan chunks stops as soon as every
+    # lane has reached its goal face (or stalled) — same outputs, the tail
+    # chunks never run.
+    CHUNK = 256
+    n_chunks = -(-max_len // CHUNK)
+    L = n_chunks * CHUNK
+
+    def chunk_body(carry):
+        v, alive, path_b, valid_b, ci = carry
+        (v, alive), (p, a) = jax.lax.scan(
+            step, (v, alive), None, length=CHUNK
+        )
+        path_b = jax.lax.dynamic_update_slice(path_b, p, (ci * CHUNK, 0))
+        valid_b = jax.lax.dynamic_update_slice(valid_b, a, (ci * CHUNK, 0))
+        return v, alive, path_b, valid_b, ci + 1
+
+    def chunk_cond(carry):
+        _, alive, _, _, ci = carry
+        return jnp.any(alive) & (ci < n_chunks)
+
+    # dead entries must FREEZE on the lane's final vertex (pose chains
+    # treat the first invalid step as the terminator; stale zeros would
+    # gather vertex 0's position) — pre-fill by broadcasting is wrong for
+    # lanes that die mid-chunk, so fill the tail after the loop instead
+    path0 = jnp.zeros((L, B), start_v.dtype)
+    valid0 = jnp.zeros((L, B), bool)
+    v_fin, _, path, valid, ci_fin = jax.lax.while_loop(
+        chunk_cond, chunk_body,
+        (start_v, jnp.ones(B, bool), path0, valid0, jnp.int32(0)),
     )
-    return path.T, valid.T
+    # rows >= ci_fin * CHUNK never ran: freeze them on the final vertex
+    # with valid=False (exactly what the full-length scan would emit)
+    row = jnp.arange(L, dtype=jnp.int32)[:, None]
+    ran = row < ci_fin * CHUNK
+    path = jnp.where(ran, path, v_fin[None, :])
+    return path.T[:, :max_len], valid.T[:, :max_len]
 
 
 def cvp_rows_at_vertices(

@@ -84,7 +84,11 @@ reach = float(np.isfinite(np.asarray(out.cost)).mean())
 print(f"# {B*iters} solves in {dt:.3f}s ({sps:.1f}/s, reach {reach:.3f})",
       flush=True)
 
-# parity vs the native FMM oracle on 2 lanes
+# parity vs the native FMM oracle on 2 lanes — re-solve on (s_c, g_c) so
+# the checked potential corresponds to the checked goals (the timing loop's
+# `out` belongs to its own last draw)
+out = cvp.plan_batch_banded(ew_dev, ckplan, s_c, g_c, warm_plan=dij_plan)
+jax.block_until_ready(out.cost)
 if native.available():
     nm = native.NativeMesh(vpos, host_array(mesh, "faces"))
     gl = jax.vmap(lambda g: query.containing_face(mesh, grid, g)[0])(g_c)

@@ -212,3 +212,56 @@ def test_warm_start_matches_cold():
     fin = np.isfinite(pc)
     assert (np.isfinite(pw) == fin).all()
     np.testing.assert_allclose(pw[fin], pc[fin], rtol=5e-3, atol=1e-3)
+
+
+def test_cvp_walked_path_parity_vs_native_fmm():
+    """Automated FMM-oracle path-parity gate for the banded CVP scale path
+    — keeps the loosened stopping tolerance (rtol 2e-3,
+    planners/cvp.py::_plan_batch_banded_impl) honest: a future map or
+    cost-profile change that eats the error slack must fail HERE, not only
+    in the at-scale bench (cvp_mesh_planner.cpp:651-970 semantics)."""
+    import pytest
+
+    native = pytest.importorskip("mesh_navigation_tpu.native")
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    from mesh_navigation_tpu.config import PlannerConfig
+    from mesh_navigation_tpu.mesh import query
+    from mesh_navigation_tpu.mesh.arrays import host_array
+    from mesh_navigation_tpu.planners import CVPPlanner
+
+    m = _terrain(16, seed=4)
+    rng = np.random.default_rng(5)
+    costs = rng.uniform(0.0, 0.4, m.num_vertices).astype(np.float32)
+    planner = CVPPlanner(m, PlannerConfig(cost_limit=2.0), max_path_len=128)
+    ew = planner.prepare_weights(jnp.asarray(costs), 1.0)
+    ew_np = np.asarray(ew)
+    kplan = planner.prepare_eikonal_plan(ew_np, costs)
+    assert kplan is not None
+
+    vp = host_array(m, "vertices")
+    ids = rng.integers(0, m.num_vertices, 8)
+    starts = jnp.asarray(vp[ids[:4]], jnp.float32)
+    goals = jnp.asarray(vp[ids[4:]], jnp.float32)
+    res = planner.plan_batch_banded(ew, kplan, starts, goals)
+    assert np.isfinite(np.asarray(res.cost)).all()
+
+    nm = native.NativeMesh(vp, host_array(m, "faces"))
+    faces_np = host_array(m, "faces")
+    pot = np.asarray(res.potential)
+    for b in range(4):
+        g_face = int(query.containing_face(m, planner.grid, goals[b])[0])
+        gvid = faces_np[max(g_face, 0)]
+        sd = np.linalg.norm(
+            vp[gvid] - np.asarray(goals[b])[None, :], axis=1
+        ).astype(np.float32)
+        od, _, _ = nm.cvp(ew_np, costs, gvid, sd, 2.0)
+        fin = np.isfinite(od)
+        rel = np.abs(pot[b][fin] - od[fin]) / np.maximum(od[fin], 1e-3)
+        # BASELINE contract: within 1% of the reference planner
+        assert float(np.percentile(rel, 99.9)) < 0.01
+        # walked path cost within 1% of the oracle potential at the start
+        sv = int(query.nearest_vertex(m, planner.grid, starts[b])[0])
+        cost_b = float(np.asarray(res.cost)[b])
+        assert cost_b <= od[sv] * 1.01 + 1e-2
