@@ -1428,8 +1428,22 @@ def banded_solve_padded(
     warm_d: jax.Array | None = None,
     warm_changed: jax.Array | None = None,
     warm_pos: jax.Array | None = None,
+    init_pad: jax.Array | None = None,
 ) -> BandedPaddedResult:
     """Run banded GS rounds to convergence, returning the padded field.
+
+    `init_pad` ([R', Cp, Bp'] padded field, any row/lane padding) switches
+    the solve into PROPAGATION mode: the field starts from init_pad verbatim
+    (seeds are NOT injected at zero — pass any [B] int array for `seeds`,
+    only its length matters) and min-plus rounds run to the fixed point of
+    the graph constraints FROM that start. Used as the long-range transport
+    stage of the hybrid eikonal solve (pallas_eikonal.eikonal_solve_padded
+    graph_plan): a Sethian round's local corner-cut improvements ride the
+    lateral min-plus scans across the whole mesh in one cheap graph round
+    instead of crawling one chunk per Sethian pass. Labels that start as
+    valid upper bounds of any metric whose fixed point satisfies the edge
+    inequalities (the eikonal one does — the triangle update lower-bounds
+    the edge relaxation) stay valid upper bounds.
 
     `four_dir` adds column-direction passes on the transposed field each
     round (see transpose_banded_plan) — default ON for residual (irregular)
@@ -1480,6 +1494,25 @@ def banded_solve_padded(
     (d0, down, up, a_fwd, a_bwd, rb, bb, xdown, xup,
      l2f, l2b, wback) = prob
     Rp, _, Bp = d0.shape
+    if init_pad is not None:
+        # propagation mode: conform the caller's padded field to this
+        # solve's row/lane padding and START from it (no zero seeding)
+        ip = init_pad.astype(dtype)
+        if ip.shape[0] > Rp:
+            ip = ip[:Rp]
+        elif ip.shape[0] < Rp:
+            ip = jnp.pad(
+                ip, ((0, Rp - ip.shape[0]), (0, 0), (0, 0)),
+                constant_values=INF,
+            )
+        if ip.shape[2] > Bp:
+            ip = ip[:, :, :Bp]
+        elif ip.shape[2] < Bp:
+            ip = jnp.pad(
+                ip, ((0, 0), (0, 0), (0, Bp - ip.shape[2])),
+                constant_values=INF,
+            )
+        d0 = ip
     n_j = Bp // bb
     if scan_steps and scan_steps < plan.n_scan:
         a_fwd = a_fwd[:, :scan_steps]

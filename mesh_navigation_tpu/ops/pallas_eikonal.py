@@ -526,6 +526,8 @@ def eikonal_solve_padded(
     n_inner: int = 4,
     init_vb: jax.Array | None = None,   # [V, B] f32 upper-bound warm start
     orderings: int = 4,
+    graph_plan=None,                    # BandedKernelPlan over the SAME side
+                                        # lengths: hybrid transport mode
 ) -> EikonalPaddedResult:
     """Batched eikonal fields by 4-ordering chunked-GS fast-sweeping rounds.
 
@@ -534,6 +536,17 @@ def eikonal_solve_padded(
     when nothing improves beyond atol + rtol·|label| in a full round.
     `cw`/`n_inner` trade per-pass cost against round count (in-chunk
     staleness is bounded by cw / n_inner).
+
+    `graph_plan` (a banded Dijkstra kernel plan built over the SAME side
+    lengths, e.g. CVPPlanner._dij_plan) turns each round into a HYBRID
+    step: after the Sethian orderings, the min-plus graph kernel
+    (banded_solve_padded init_pad mode) propagates every local corner-cut
+    improvement across the whole mesh at scan speed. The fixed point is
+    unchanged — the triangle update lower-bounds the edge relaxation
+    everywhere, so adding the edge constraints cannot lower it — but
+    long-range transport stops costing chunked-GS rounds (~300 ms each at
+    1M x 128) and rides ~40 ms graph rounds instead; the Sethian rounds
+    then only DISCOVER corner cuts, not carry them.
 
     `init_vb` warm-starts the field with per-vertex UPPER BOUNDS of the
     eikonal fixed point (e.g. the banded Dijkstra field + the seed offset:
@@ -649,6 +662,30 @@ def eikonal_solve_padded(
             d = new.reshape(Rp, Cp, Bp)
             impj = imp.reshape(-1, n_j, bb).any(axis=2).astype(jnp.int32)
             dirty = dirty.at[:, res_rows].max(impj.T)
+        if graph_plan is not None:
+            from mesh_navigation_tpu.ops import pallas_banded as _pb
+
+            gres = _pb.banded_solve_padded(
+                graph_plan, jnp.zeros((B,), jnp.int32), max_rounds=32,
+                atol=atol, rtol=rtol, init_pad=d,
+            )
+            gd = gres.d_pad
+            if gd.shape[0] > Rp:
+                gd = gd[:Rp]
+            elif gd.shape[0] < Rp:
+                gd = jnp.pad(
+                    gd, ((0, Rp - gd.shape[0]), (0, 0), (0, 0)),
+                    constant_values=INF,
+                )
+            if gd.shape[2] > Bp:
+                gd = gd[:, :, :Bp]
+            # transported drops invalidate the Sethian row skip: mark every
+            # row the graph stage changed as dirty for the next orderings
+            moved = (gd != d).any(axis=1)                    # [Rp, Bp]
+            rowj = moved.reshape(Rp, n_j, bb).any(axis=2)    # [Rp, n_j]
+            dirty = jnp.maximum(dirty, rowj.T.astype(jnp.int32))
+            changed = changed | jnp.any(moved)
+            d = gd
         # seeds can only be lowered by fp noise (they are already at their
         # fixed point); re-clamp is deferred to the caller's final read
         return d, dirty, dirty_t, changed

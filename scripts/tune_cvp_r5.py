@@ -118,3 +118,48 @@ run("rtol=2e-3 cw8 ni8 o2", atol=1e-4, rtol=2e-3, cw=8, n_inner=8, orderings=2)
 run("rtol=1.5e-3 cw8 ni8 o2", atol=1e-4, rtol=1.5e-3, cw=8, n_inner=8, orderings=2)
 run("rtol=1e-3 cw16 ni16 o2", atol=1e-4, rtol=1e-3, cw=16, n_inner=16, orderings=2)
 run("rtol=1e-3 cw8 ni8 o1", atol=1e-4, rtol=1e-3, cw=8, n_inner=8, orderings=1)
+
+# hybrid: Sethian rounds + min-plus graph transport between rounds
+def run_hybrid(tag, **kw):
+    def solve(gv, sd):
+        dres = _pb.banded_solve_padded(dp, gv[:, 0], max_rounds=64,
+                                       atol=1e-4, rtol=2e-3)
+        Rd, Cd = dp.n_rows, dp.n_cols
+        dij_vb = dres.d_pad[:Rd, :Cd, :B].reshape(Rd * Cd, B)[:V]
+        init = jnp.where(tok[:, None], dij_vb + sd[:, 0][None, :], jnp.inf)
+        return pe.eikonal_solve_padded(plan, gv, sd, init_vb=init,
+                                       graph_plan=dp, **kw)
+    fn = jax.jit(solve)
+    res = fn(g_vids, seed_d)
+    jax.block_until_ready(res.d_pad)
+    t = time.time()
+    n = 3
+    for _ in range(n):
+        res = fn(g_vids, seed_d)
+    jax.block_until_ready(res.d_pad)
+    dt = (time.time() - t) / n
+    R, C = plan.n_rows, plan.n_cols
+    pot = np.asarray(res.d_pad[:R, :C, :B].reshape(R * C, B)[:V].T)
+    errs = []
+    for b in range(2):
+        od = ods[b]
+        fin = np.isfinite(od)
+        rel = np.abs(pot[b][fin] - od[fin]) / np.maximum(od[fin], 1e-3)
+        errs.append(float(np.percentile(rel, 99.9)))
+    print(f"{tag:40s}: {dt*1000:7.1f} ms rounds={int(res.rounds)} "
+          f"p99.9={max(errs):.2e}", flush=True)
+
+
+if os.environ.get("TUNE_HYBRID", "0") == "1":
+    run_hybrid("HYB rtol=1e-3 cw8 ni8 o2", atol=1e-4, rtol=1e-3, cw=8,
+               n_inner=8, orderings=2)
+    run_hybrid("HYB rtol=1e-3 cw8 ni4 o2", atol=1e-4, rtol=1e-3, cw=8,
+               n_inner=4, orderings=2)
+    run_hybrid("HYB rtol=1e-3 cw8 ni2 o2", atol=1e-4, rtol=1e-3, cw=8,
+               n_inner=2, orderings=2)
+    run_hybrid("HYB rtol=1e-3 cw16 ni2 o2", atol=1e-4, rtol=1e-3, cw=16,
+               n_inner=2, orderings=2)
+    run_hybrid("HYB rtol=1e-3 cw32 ni1 o2", atol=1e-4, rtol=1e-3, cw=32,
+               n_inner=1, orderings=2)
+    run_hybrid("HYB rtol=2e-3 cw8 ni4 o2", atol=1e-4, rtol=2e-3, cw=8,
+               n_inner=4, orderings=2)

@@ -265,3 +265,41 @@ def test_cvp_walked_path_parity_vs_native_fmm():
         sv = int(query.nearest_vertex(m, planner.grid, starts[b])[0])
         cost_b = float(np.asarray(res.cost)[b])
         assert cost_b <= od[sv] * 1.01 + 1e-2
+
+
+def test_hybrid_graph_transport_same_fixed_point():
+    """graph_plan (hybrid Sethian + min-plus transport) must reach the same
+    fixed point as the plain chunked-GS rounds: the triangle update lower-
+    bounds the edge relaxation everywhere, so adding the graph constraints
+    cannot move the fixed point."""
+    from mesh_navigation_tpu.mesh.arrays import host_array
+    from mesh_navigation_tpu.ops import pallas_banded as pb
+
+    m = _terrain(12, seed=4)
+    rng = np.random.default_rng(7)
+    costs = rng.uniform(0.0, 0.4, m.num_vertices).astype(np.float32)
+    side = sweeps.compute_edge_weights(m, jnp.asarray(costs), 1.0)
+    plan = pe.build_eikonal_kernel_plan(m, np.asarray(side))
+
+    # graph plan over the same side lengths (slot layout)
+    ew_np = np.asarray(side)
+    adj_e = host_array(m, "adj_edge")
+    adj_m = host_array(m, "adj_mask")
+    W = np.where(adj_m, ew_np[adj_e], np.inf).astype(np.float32)
+    gplan = pb.build_banded_kernel_plan(m, W)
+
+    seed_v = jnp.asarray([[3, 4, 5], [100, 101, 99]], jnp.int32)
+    seed_d = jnp.asarray([[0.1, 0.2, 0.15], [0.0, 0.3, 0.2]], jnp.float32)
+    res_plain = pe.eikonal_solve_padded(
+        plan, seed_v, seed_d, atol=1e-6, rtol=1e-6
+    )
+    res_hyb = pe.eikonal_solve_padded(
+        plan, seed_v, seed_d, atol=1e-6, rtol=1e-6, graph_plan=gplan,
+        n_inner=2,
+    )
+    assert bool(res_hyb.converged)
+    R, C = plan.n_rows, plan.n_cols
+    V = m.num_vertices
+    dp_ = np.asarray(res_plain.d_pad[:R, :C, :2].reshape(R * C, 2)[:V])
+    dh = np.asarray(res_hyb.d_pad[:R, :C, :2].reshape(R * C, 2)[:V])
+    np.testing.assert_allclose(dh, dp_, rtol=1e-4, atol=1e-4)
