@@ -27,6 +27,7 @@ BENCH_ORACLE_LANES (2).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -106,7 +107,7 @@ def build_pipeline(mesh, mesh_n, batch, dtype, scan_steps, label,
     )
     tol = 1e-2 if dtype == jnp.bfloat16 else 1e-5
 
-    def solve_batch(W_in, kp, grid, starts, goals, quats, with_potential=False):
+    def solve_batch(W_in, kp, grid, starts, goals, quats):
         res = planner.plan_batch_banded(
             W_in, kp, starts, goals, light=True, dtype=dtype,
             scan_steps=scan_steps, atol=atol, rtol=rtol, grid=grid,
@@ -114,27 +115,37 @@ def build_pipeline(mesh, mesh_n, batch, dtype, scan_steps, label,
         st = jax.vmap(
             lambda g: initial_state(g, jnp.asarray([1.0, 0.0, 0.0]))
         )(goals)
-        # controller reads the RAW padded field (d_pad reshaped) — neither
-        # the [B, V] potential transpose nor the [V, B] slice-copy
-        # materialize unless with_potential (parity check only) asks
+        # controller reads the RAW padded field (d_pad reshaped) — the
+        # [B, V] potential transpose never materializes (DCE'd output)
         dflat = res.d_pad.reshape(-1, res.d_pad.shape[-1])
         cmds, _ = ctrl.compute_velocity_banded(
             kp, dflat, costs, starts, quats, st, tol=tol,
             lane_minor=True, lane_map=res.lane_map, padded_flat=True,
         )
-        out = (
+        # d_pad + lane_map ride along (alias of solver-internal buffers, no
+        # extra compute): the oracle-parity stage extracts its few potential
+        # lanes from them in a tiny separate jit instead of compiling a
+        # second near-identical "solve_pot" program (~60 s of warm-up per
+        # pipeline, VERDICT r4 #7)
+        return (
             res.cost, cmds.linear, cmds.angular, res.outcome,
             res.path_positions, res.path_quats, res.path_valid,
+            res.d_pad, res.lane_map,
         )
-        return out + (res.potential,) if with_potential else out
+
+    @functools.partial(jax.jit, static_argnames=("n_lanes",))
+    def potential_lanes(d_pad, lane_map, n_lanes):
+        """[n_lanes, V] potential of the first n_lanes ORIGINAL lanes,
+        un-permuting the solver's goal-grouped lane order."""
+        R, C = kplan.n_rows, kplan.n_cols
+        V = kplan.num_vertices
+        B = lane_map.shape[0]
+        pvb = d_pad[:R, :C, :B].reshape(R * C, B)[:V]
+        return pvb[:, lane_map[:n_lanes]].T.astype(jnp.float32)
 
     return {
         "solve": jax.jit(solve_batch),
-        "solve_pot": jax.jit(
-            lambda W_in, kp, grid, s, g, q: solve_batch(
-                W_in, kp, grid, s, g, q, with_potential=True
-            )
-        ),
+        "potential_lanes": potential_lanes,
         "planner": planner,
         "kplan": kplan,
         "W": W,
@@ -281,15 +292,16 @@ def main():
                 raise
     log(f"# compiled+warm in {time.time()-t0:.1f}s")
 
-    # oracle parity on the warmup batch (separate program: the timed solve
-    # never materializes the [B, V] potential)
-    out_p = pipe["solve_pot"](pipe["W"], pipe["kplan"], pipe["grid"], *args)
-    err = oracle_check(mesh, pipe, out_p[-1], args[0], args[1], oracle_lanes, "grid")
-    del out_p
+    # oracle parity on the warmup batch: extract the checked lanes'
+    # potential from the solve's own d_pad (tiny jit — no second program)
+    pot_l = pipe["potential_lanes"](out[-2], out[-1], min(oracle_lanes, batch))
+    err = oracle_check(mesh, pipe, pot_l, args[0], args[1], oracle_lanes, "grid")
+    del pot_l
     gate_parity(err, "grid")
 
     t1 = time.time()
     for i in range(iters):
+        out = None  # drop the previous d_pad ref before dispatching the next
         out = pipe["solve"](pipe["W"], pipe["kplan"], pipe["grid"], *sample_scenarios(rng, mesh_n, batch))
     jax.block_until_ready(out)
     dt = time.time() - t1
@@ -305,10 +317,14 @@ def main():
     if gbps_ok:
       try:
         seeds = jnp.sort(jnp.asarray(rng.integers(0, mesh.num_vertices, batch), jnp.int32))
+        # kp as ARGUMENT: ~60 MB of plan tables would otherwise bake into
+        # the serialized HLO (slow remote compile — the 413 disease)
         sfn = jax.jit(
-            lambda s: pb.banded_solve_padded(kp, s, dtype=dtype, scan_steps=scan_steps)
+            lambda kp_, s: pb.banded_solve_padded(
+                kp_, s, dtype=dtype, scan_steps=scan_steps
+            )
         )
-        res = sfn(seeds)
+        res = sfn(kp, seeds)
         jax.block_until_ready(res)
         t2 = time.time()
         n_rep = 3
@@ -316,7 +332,7 @@ def main():
             seeds_i = jnp.sort(
                 jnp.asarray(rng.integers(0, mesh.num_vertices, batch), jnp.int32)
             )
-            res = sfn(seeds_i)
+            res = sfn(kp, seeds_i)
         jax.block_until_ready(res)
         dt_solve = (time.time() - t2) / n_rep
         rounds = int(res.rounds)
@@ -363,7 +379,6 @@ def main():
         )
         srv = MeshNavServer(mesh, nav_cfg, planner_kind="dijkstra")
         step = srv.make_replan_step("obst")
-        n_rep = 3
         log(f"# [replan] server + cascade built (+{time.time()-t_rs:.1f}s)")
 
         # replan latency is per-UPDATE (one sensed obstacle -> refreshed
@@ -374,16 +389,28 @@ def main():
         )
         vpos_np = np.asarray(mesh.vertices)
 
-        def cloud(center_vid):
-            # sensed points hover above the surface around a random vertex
+        def cloud(center_vid, z_off=0.3):
+            # sensed points hover above the surface around a random vertex;
+            # z_off far above robot_height makes every ray miss — a pure
+            # CLEAR update (previous obstacle vanishes, nothing added)
             ids = np.clip(
                 center_vid + rng.integers(-2, 3, 512) * mesh_n
                 + rng.integers(-2, 3, 512),
                 0, mesh.num_vertices - 1,
             )
             return jnp.asarray(
-                vpos_np[ids] + np.asarray([0, 0, 0.3], np.float32)
+                vpos_np[ids] + np.asarray([0, 0, z_off], np.float32)
             )
+
+        # update-pattern diversity (VERDICT r4 weak #4): the measured Hz
+        # averages a random JUMP, a small DRIFT (moving obstacle — the
+        # previous cloud clears, a neighboring one appears), and a pure
+        # CLEAR (all rays miss); each exercises a different changed-region
+        # shape through the same compiled step
+        def update_clouds():
+            c0 = int(rng.integers(0, mesh.num_vertices))
+            drift = int(np.clip(c0 + 3 * mesh_n + 3, 0, mesh.num_vertices - 1))
+            return [cloud(c0), cloud(drift), cloud(c0, z_off=1e4)]
 
         base = pb.banded_solve_padded(
             srv.banded_plan, seeds_r, atol=1e-4, rtol=2e-3
@@ -393,12 +420,12 @@ def main():
         out_r = step(cloud(rng.integers(0, mesh.num_vertices)),
                      costs_cur, d_cur, seeds_r)
         jax.block_until_ready(out_r)
+        pats = update_clouds()
         t3 = time.time()
-        for i in range(n_rep):
-            pts = cloud(rng.integers(0, mesh.num_vertices))
+        for pts in pats:
             costs_cur, d_cur, rounds_r = step(pts, costs_cur, d_cur, seeds_r)
         jax.block_until_ready((costs_cur, d_cur))
-        dt_replan = (time.time() - t3) / n_rep
+        dt_replan = (time.time() - t3) / len(pats)
         log(
             f"# point-cloud->raycast->inflation->combine->refresh->"
             f"warm-resolve {dt_replan*1000:.1f} ms ({1.0/dt_replan:.1f} Hz, "
@@ -549,15 +576,17 @@ def main():
         out_i = pipe_i["solve"](pipe_i["W"], pipe_i["kplan"], pipe_i["grid"], *args_i)
         jax.block_until_ready(out_i)
         log(f"# irregular compiled+warm (+{time.time()-t4:.1f}s)")
-        out_ip = pipe_i["solve_pot"](pipe_i["W"], pipe_i["kplan"], pipe_i["grid"], *args_i)
+        n_lanes_i = min(max(oracle_lanes, 8), b_irr)
+        pot_li = pipe_i["potential_lanes"](out_i[-2], out_i[-1], n_lanes_i)
         err_i = oracle_check(
-            mesh_i, pipe_i, out_ip[-1], args_i[0], args_i[1],
-            max(oracle_lanes, 8), "irregular"
+            mesh_i, pipe_i, pot_li, args_i[0], args_i[1],
+            n_lanes_i, "irregular"
         )
-        del out_ip
+        del pot_li
         gate_parity(err_i, "irregular")
         t5 = time.time()
         for i in range(iters):
+            out_i = None
             out_i = pipe_i["solve"](
                 pipe_i["W"], pipe_i["kplan"], pipe_i["grid"],
                 *sample_scenarios(rng, mesh_n, b_irr)
