@@ -168,7 +168,8 @@ class MeshNavServer:
         self.layer_state.pop(f"obstacle:{layer_name}:points", None)
 
     def make_replan_step(self, layer_name: str, *,
-                         inflation_window=(64, 128)):
+                         inflation_window=(64, 128),
+                         warm_window: int | None = None):
         """One-jit live-replan cascade — the FULL §3.5 change path at
         replanning rate: point cloud -> obstacle raycast (process_point_cloud)
         -> layer DAG re-evaluation (inflation wavefront, combination) ->
@@ -182,7 +183,15 @@ class MeshNavServer:
         (the headline scale path). The layer cascade mirrors
         layer_manager.cpp:202-263; the incremental solve replaces the
         reference's updateEdgeWeights + full re-plan
-        (mesh_map.cpp:563-618)."""
+        (mesh_map.cpp:563-618).
+
+        `warm_window` (rows, multiple of 128) opts the warm resolve into the
+        row-slab windowed solve — worthwhile for SMALL cohorts (a few
+        robots) whose shadow cones cluster; at large B the union of
+        per-lane shadow cones spans the mesh (measured: a 512-point
+        obstacle invalidates labels on all 1024 rows at B=128), the window
+        never fits, and its cut-footprint scan costs a field read per
+        step — hence default None."""
         if self.stack is None or self.banded_plan is None:
             raise ValueError("replan step needs a layer stack + banded plan")
         from mesh_navigation_tpu.ops import pallas_banded as _pb
@@ -254,7 +263,7 @@ class MeshNavServer:
             res = _pb.banded_solve_padded(
                 kp, seeds, max_rounds=64, atol=1e-4, rtol=2e-3,
                 warm_d=d_prev, warm_changed=changed, warm_pos=pos_planes,
-                converge="check",
+                warm_window=warm_window, converge="check",
             )
             return combined, res.d_pad, res.rounds
 

@@ -1428,6 +1428,7 @@ def banded_solve_padded(
     warm_d: jax.Array | None = None,
     warm_changed: jax.Array | None = None,
     warm_pos: jax.Array | None = None,
+    warm_window: int | None = None,
     init_pad: jax.Array | None = None,
 ) -> BandedPaddedResult:
     """Run banded GS rounds to convergence, returning the padded field.
@@ -1772,10 +1773,149 @@ def banded_solve_padded(
         dirty0 = jnp.broadcast_to(
             row_dirty[None, :].astype(jnp.int32), (n_j, Rp)
         )
-        d1, dirty1, dirty1_t, chg0 = one_round(
-            warm_d.astype(d0.dtype), dirty0, dirty0_t,
-            cut=(lb_plane, cutth, seedrc),
+        # ---- windowed warm resolve (live-replan fast path) ----
+        # The cut footprint of a local update usually spans a few dozen
+        # rows; the full-field rounds still read+write every row (the skip
+        # machinery saves VPU scans, not HBM traffic). With `warm_window`
+        # the cut+re-solve rounds run on a W-row slab sliced around the
+        # exact affected rows, certified by (a) the slab's own fixed-point
+        # check and (b) a bit-exact seam test on the GH ghost border rows
+        # (skip-gated writes re-write the base value on sub-tolerance
+        # improvement, so "unchanged" IS exact equality); if the footprint
+        # doesn't fit or corrections want to cross the window edge, the
+        # full loop below finishes from the slab-written field — every
+        # slab write is a monotone relaxation from valid upper bounds, so
+        # the partial state stays correct for the fallback.
+        _win_state = None
+        use_win = (
+            warm_window is not None
+            and not has_residual and not four_dir and not defer_down
+            and converge == "check" and warm_window < Rp
         )
+        if use_win:
+            WW = int(warm_window)
+            assert WW % 128 == 0 and WW > 0, (
+                "warm_window must be a positive multiple of 128", WW
+            )
+            GH = 8
+            wd_t = warm_d.astype(d0.dtype)
+            # exact per-row cut footprint: rows holding ANY label the cut
+            # can CHANGE (one fused compare+reduce field read). INF labels
+            # satisfy the cut predicate trivially but cut to INF — a no-op
+            # (raises keep unreachable unreachable; drop-side reactivation
+            # propagates from the changed rows and is caught by the seam
+            # certificate) — so they must not widen the footprint
+            cut_rows = jnp.any(
+                (wd32 >= lb_plane[:, :, None] + cutth[0][None, None, :])
+                & (wd32 < INF),
+                axis=(1, 2),
+            )
+            aff = cut_rows | mask_p.any(axis=1)
+            r_lo = jnp.min(jnp.where(aff, ridx, Rp))
+            r_hi = jnp.max(jnp.where(aff, ridx, -1))
+            fits_w = (r_hi >= r_lo) & (r_hi - r_lo + 1 + 2 * GH <= WW)
+            lo_w = jnp.clip(r_lo - GH, 0, Rp - WW)
+            w8s_full = _w8_planes(plan, Rp)
+            if interpret:
+                rbc, bbc = 2, Bp
+            else:
+                rbc, bbc = _pick_pred_blocks(WW, Cp, dtype=d0.dtype)
+
+            def _slc(a):
+                return jax.lax.dynamic_slice_in_dim(a, lo_w, WW, axis=0)
+
+            def win_branch(_):
+                d_s = jax.lax.dynamic_slice(wd_t, (lo_w, 0, 0), (WW, Cp, Bp))
+                down_s, up_s = _slc(down), _slc(up)
+                af_s, ab_s = _slc(a_fwd), _slc(a_bwd)
+                xd_s, xu_s = _slc(xdown), _slc(xup)
+                l2f_s, l2b_s, wb_s = _slc(l2f), _slc(l2b), _slc(wback)
+                lb_s = jax.lax.dynamic_slice(lb_plane, (lo_w, 0), (WW, Cp))
+                w8_s = _slc(w8s_full)
+                sr = seedrc[0] - lo_w
+                ok_s = (seedrc[0] >= 0) & (sr >= 0) & (sr < WW)
+                seedrc_s = jnp.stack(
+                    [jnp.where(ok_s, sr, -1), seedrc[1]], axis=0
+                )
+                dirty_s = jnp.broadcast_to(
+                    jax.lax.dynamic_slice_in_dim(
+                        row_dirty, lo_w, WW, axis=0
+                    )[None, :].astype(jnp.int32),
+                    (n_j, WW),
+                )
+
+                def round_s(d_c, dirty_c, cut):
+                    d_c, _, dirty_c = _directional_pass_pallas(
+                        d_c, down_s, af_s, ab_s, xd_s, l2f_s, l2b_s, wb_s,
+                        dirty_c, cut, reverse=False, rb=rb, bb=bb,
+                        n_scan=n_scan, n_scan2=n_scan2, atol=atol,
+                        rtol=rtol, interpret=interpret, skip=skip,
+                        use_dirty=True, xlanes=plan.xlanes_down,
+                    )
+                    d_c, _, dirty_c = _directional_pass_pallas(
+                        d_c, up_s, af_s, ab_s, xu_s, l2f_s, l2b_s, wb_s,
+                        dirty_c, reverse=True, rb=rb, bb=bb,
+                        n_scan=n_scan, n_scan2=n_scan2, atol=atol,
+                        rtol=rtol, interpret=interpret, skip=skip,
+                        use_dirty=True, xlanes=plan.xlanes_up,
+                    )
+                    return d_c, dirty_c
+
+                def chk_s(d_c):
+                    return _check_pallas_padded(
+                        d_c, w8_s, rb=rbc, bb=bbc, atol=atol, rtol=rtol,
+                        interpret=interpret,
+                    )
+
+                d_s1, dirty_s1 = round_s(
+                    d_s, dirty_s, (lb_s, cutth, seedrc_s)
+                )
+
+                def body_s(c):
+                    d_c, dirty_c, it, _ = c
+                    d_c, dirty_c = round_s(d_c, dirty_c, None)
+                    return d_c, dirty_c, it + 1, ~chk_s(d_c)
+
+                d_sf, _, it_s, viol_sf = jax.lax.while_loop(
+                    lambda c: c[3] & (c[2] < 16), body_s,
+                    (d_s1, dirty_s1, jnp.int32(1), ~chk_s(d_s1)),
+                )
+                top_in = jax.lax.dynamic_slice(
+                    wd_t, (lo_w, 0, 0), (GH, Cp, Bp)
+                )
+                bot_in = jax.lax.dynamic_slice(
+                    wd_t, (lo_w + WW - GH, 0, 0), (GH, Cp, Bp)
+                )
+                border_same = jnp.all(d_sf[:GH] == top_in) & jnp.all(
+                    d_sf[WW - GH:] == bot_in
+                )
+                d_back = jax.lax.dynamic_update_slice(
+                    wd_t, d_sf, (lo_w, 0, 0)
+                )
+                done = border_same & ~viol_sf
+                # fallback rounds must rescan everything (the drop-seeded
+                # dirty rows were consumed by the slab loop)
+                dirty_b = jnp.where(
+                    done, 0, 1
+                ) * jnp.ones((n_j, Rp), jnp.int32)
+                return d_back, dirty_b, it_s, ~done
+
+            def full_branch(_):
+                d1f, dirty1f, _dt, _c = one_round(
+                    wd_t, dirty0, dirty0_t, cut=(lb_plane, cutth, seedrc)
+                )
+                v = ~check_converged_banded(
+                    plan, d1f, atol=atol, rtol=rtol, interpret=interpret
+                )
+                return d1f, dirty1f, jnp.int32(1), v
+
+            _win_state = jax.lax.cond(fits_w, win_branch, full_branch, None)
+            d1, dirty1, dirty1_t = _win_state[0], _win_state[1], dirty0_t
+        else:
+            d1, dirty1, dirty1_t, chg0 = one_round(
+                warm_d.astype(d0.dtype), dirty0, dirty0_t,
+                cut=(lb_plane, cutth, seedrc),
+            )
     else:
         d1, dirty1, dirty1_t, chg0 = one_round(d0, dirty0, dirty0_t, force=True)
 
@@ -1841,11 +1981,18 @@ def banded_solve_padded(
             )
             return d, dirty, dirty_t, it + 1, ~ok
 
-        viol0 = ~check_converged_banded(
-            plan, d1, atol=atol, rtol=rtol, interpret=interpret
-        )
+        if warm and _win_state is not None:
+            # windowed warm resolve: the slab already carries its own
+            # certificate (slab check + bit-exact seam); the full loop only
+            # runs on window-miss / seam-crossing corrections
+            _, _, r_init, viol0 = _win_state
+        else:
+            r_init = jnp.int32(1)
+            viol0 = ~check_converged_banded(
+                plan, d1, atol=atol, rtol=rtol, interpret=interpret
+            )
         d, _, _, rounds, viol = jax.lax.while_loop(
-            cond, body_c, (d1, dirty1, dirty1_t, jnp.int32(1), viol0)
+            cond, body_c, (d1, dirty1, dirty1_t, r_init, viol0)
         )
         return BandedPaddedResult(d_pad=d, rounds=rounds, converged=~viol)
 

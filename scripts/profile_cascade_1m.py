@@ -85,18 +85,20 @@ def refresh_part(bplanes, comb0, points, prev_costs):
     return combined, kp.down, changed
 
 
-def full_step(bplanes, comb0, points, prev_costs, d_prev, seeds):
-    combined = layers_part(points)
-    kp = pb.refresh_banded_planes_rows(
-        bplanes, comb0, combined, edge_cost_factor=1.0, cost_limit=2.0,
-    )
-    changed = pb.changed_plane_from_costs(plan0, prev_costs, combined)
-    res = pb.banded_solve_padded(
-        kp, seeds, max_rounds=64, atol=1e-4, rtol=2e-3,
-        warm_d=d_prev, warm_changed=changed, warm_pos=pos_planes,
-        converge="check",
-    )
-    return combined, res.d_pad, res.rounds
+def make_full_step(warm_window):
+    def full_step(bplanes, comb0, points, prev_costs, d_prev, seeds):
+        combined = layers_part(points)
+        kp = pb.refresh_banded_planes_rows(
+            bplanes, comb0, combined, edge_cost_factor=1.0, cost_limit=2.0,
+        )
+        changed = pb.changed_plane_from_costs(plan0, prev_costs, combined)
+        res = pb.banded_solve_padded(
+            kp, seeds, max_rounds=64, atol=1e-4, rtol=2e-3,
+            warm_d=d_prev, warm_changed=changed, warm_pos=pos_planes,
+            warm_window=warm_window, converge="check",
+        )
+        return combined, res.d_pad, res.rounds
+    return full_step
 
 
 rng = np.random.default_rng(0)
@@ -135,8 +137,14 @@ rfn = jax.jit(refresh_part)
 timeit("+refresh+changed", rfn,
        [(base_planes, combined0, c, srv.vertex_costs) for c in CLOUDS])
 
-ffn = jax.jit(full_step)
+ffn = jax.jit(make_full_step(None))
 out = timeit("FULL (+warm solve)", ffn,
+             [(base_planes, combined0, c, srv.vertex_costs, base.d_pad, seeds)
+              for c in CLOUDS])
+print(f"    rounds={int(out[2])}", flush=True)
+
+wfn = jax.jit(make_full_step(384))
+out = timeit("FULL (warm_window=384)", wfn,
              [(base_planes, combined0, c, srv.vertex_costs, base.d_pad, seeds)
               for c in CLOUDS])
 print(f"    rounds={int(out[2])}", flush=True)

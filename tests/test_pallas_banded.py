@@ -572,3 +572,101 @@ def test_two_level_scan_matches_flat():
     got = d2[:, : plan.n_cols, 1].reshape(-1)[: m.num_vertices]
     ofin = np.isfinite(od)
     np.testing.assert_allclose(got[ofin], od[ofin], rtol=1e-5, atol=1e-5)
+
+
+def test_warm_window_matches_cold():
+    """Windowed warm resolve (warm_window row slab): raise a lethal disc,
+    warm-resolve inside a 128-row window, and match the cold solve on the
+    refreshed planes; then clear it (weight DROP — improvements may cross
+    the window seam, exercising the bit-exact border certificate + full
+    fallback) and match the original field again."""
+    import jax
+
+    v, f = synthetic.terrain_mesh(
+        160, 16, spacing=0.5, hills=1.0, roughness=0.01, seed=2
+    )
+    m = build_mesh(v, f)
+    rng = np.random.default_rng(5)
+    costs = rng.uniform(0.0, 0.4, m.num_vertices).astype(np.float32)
+    _, W0 = _weights(m, costs, cost_limit=2.0)
+    plan0 = pallas_banded.build_banded_kernel_plan(m, W0)
+    assert plan0.n_rows > 128     # the window must be a strict sub-slab
+    seeds = jnp.asarray([3, 700, 2100], jnp.int32)
+    TOL = dict(atol=1e-6, rtol=1e-6)
+    res0 = pallas_banded.banded_solve_padded(plan0, seeds, **TOL)
+    assert bool(res0.converged)
+
+    pos = np.asarray(m.vertices)
+    d2 = np.sum((pos[:, :2] - pos[1290, :2]) ** 2, axis=1)
+    costs2 = np.where(d2 < 1.0, np.inf, costs).astype(np.float32)
+    plan2 = pallas_banded.refresh_banded_planes_from_costs(
+        plan0, jnp.asarray(costs2), edge_cost_factor=1.0, cost_limit=1.0
+    )
+    changed = pallas_banded.changed_plane_from_costs(
+        plan0, jnp.asarray(costs), jnp.asarray(costs2)
+    )
+    warm = pallas_banded.banded_solve_padded(
+        plan2, seeds, **TOL, warm_d=res0.d_pad, warm_changed=changed,
+        warm_pos=pallas_banded.position_planes(plan2, m),
+        warm_window=128, converge="check",
+    )
+    cold = pallas_banded.banded_solve_padded(plan2, seeds, **TOL)
+    assert bool(warm.converged) and bool(cold.converged)
+    np.testing.assert_allclose(
+        np.asarray(warm.d_pad), np.asarray(cold.d_pad), rtol=1e-4, atol=1e-5
+    )
+
+    changed_back = pallas_banded.changed_plane_from_costs(
+        plan0, jnp.asarray(costs2), jnp.asarray(costs)
+    )
+    back = pallas_banded.banded_solve_padded(
+        plan0, seeds, **TOL, warm_d=warm.d_pad, warm_changed=changed_back,
+        warm_window=128, converge="check",
+    )
+    assert bool(back.converged)
+    np.testing.assert_allclose(
+        np.asarray(back.d_pad), np.asarray(res0.d_pad), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_warm_window_seam_crossing_falls_back():
+    """A weight DROP whose improvements must propagate far beyond the
+    window: clearing a wall re-routes labels across most of the mesh. The
+    changed rows fit the 128-row window, but the slab's ghost-border rows
+    change — the bit-exact seam certificate must reject the slab result and
+    the full fallback must still reach the cold fixed point."""
+    v, f = synthetic.terrain_mesh(
+        160, 16, spacing=0.5, hills=0.0, roughness=0.0, seed=2
+    )
+    m = build_mesh(v, f)
+    costs = np.full(m.num_vertices, 0.1, np.float32)
+    # wall across rows 79-80, one-column gap at col 0: labels above the
+    # wall detour through the gap
+    vid = np.arange(m.num_vertices)
+    row, col = vid // 16, vid % 16
+    wall = ((row == 79) | (row == 80)) & (col > 0)
+    costs_w = np.where(wall, np.inf, costs).astype(np.float32)
+    _, W0 = _weights(m, costs, cost_limit=200.0)
+    plan0 = pallas_banded.build_banded_kernel_plan(m, W0)
+    plan_w = pallas_banded.refresh_banded_planes_from_costs(
+        plan0, jnp.asarray(costs_w), edge_cost_factor=1.0, cost_limit=200.0
+    )
+    seeds = jnp.asarray([8], jnp.int32)        # row 0: below the wall
+    TOL = dict(atol=1e-6, rtol=1e-6)
+    res_w = pallas_banded.banded_solve_padded(plan_w, seeds, **TOL)
+    assert bool(res_w.converged)
+
+    # clear the wall: changed rows 79-80 fit the window; improvements reach
+    # every row above
+    changed = pallas_banded.changed_plane_from_costs(
+        plan0, jnp.asarray(costs_w), jnp.asarray(costs)
+    )
+    warm = pallas_banded.banded_solve_padded(
+        plan0, seeds, **TOL, warm_d=res_w.d_pad, warm_changed=changed,
+        warm_window=128, converge="check",
+    )
+    cold = pallas_banded.banded_solve_padded(plan0, seeds, **TOL)
+    assert bool(warm.converged)
+    np.testing.assert_allclose(
+        np.asarray(warm.d_pad), np.asarray(cold.d_pad), rtol=1e-4, atol=1e-5
+    )
