@@ -41,3 +41,14 @@ def terrain_mesh_medium():
 def sphere_mesh():
     v, f = synthetic.icosphere(2)
     return build_mesh(v, f)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process compile-cache growth. The suite compiles hundreds of
+    interpret-mode Pallas programs; with all executables kept alive the XLA
+    CPU compiler aborts (SIGABRT in backend_compile) ~140 tests in. Dropping
+    caches between modules keeps peak compiler memory flat; session-scoped
+    mesh fixtures (plain arrays) are unaffected."""
+    yield
+    jax.clear_caches()
