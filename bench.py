@@ -308,6 +308,7 @@ def main():
     solves_per_s = batch * iters / dt
     reached = float(np.isfinite(np.asarray(out[0])).mean())
     log(f"# {batch*iters} solves in {dt:.3f}s, reach rate {reached:.3f}")
+    out = None   # drop the 4.3 GB d_pad ref before the later stages allocate
 
     # ------------------------------------------------------------------
     # sweep GB/s: the field solve alone, bytes = passes * 2 * field bytes
@@ -595,6 +596,7 @@ def main():
         dt_i = time.time() - t5
         sps_i = b_irr * iters / dt_i
         reached_i = float(np.isfinite(np.asarray(out_i[0])).mean())
+        out_i = None
         log(f"# irregular: {b_irr*iters} solves in {dt_i:.3f}s, reach {reached_i:.3f}")
         emit(
             f"plan_control_solves_per_s_irregular_{mesh_i.num_vertices}v",
