@@ -260,9 +260,15 @@ class MeshNavServer:
                 edge_cost_factor=factor, cost_limit=cost_limit,
             )
             changed = _pb.changed_plane_from_costs(plan0, prev_costs, combined)
+            # raises and drops are asymmetric: only raised costs can strand
+            # stale-low labels, so the invalidation cut keys on the raised
+            # plane — a pure CLEAR update (obstacle left the scene) then
+            # invalidates nothing and re-solves by relaxation alone
+            raised = _pb.raised_plane_from_costs(plan0, prev_costs, combined)
             res = _pb.banded_solve_padded(
                 kp, seeds, max_rounds=64, atol=1e-4, rtol=2e-3,
-                warm_d=d_prev, warm_changed=changed, warm_pos=pos_planes,
+                warm_d=d_prev, warm_changed=changed, warm_raised=raised,
+                warm_pos=pos_planes,
                 warm_window=warm_window, converge="check",
             )
             return combined, res.d_pad, res.rounds

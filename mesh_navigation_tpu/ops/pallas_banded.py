@@ -1427,6 +1427,7 @@ def banded_solve_padded(
     converge: str = "round",
     warm_d: jax.Array | None = None,
     warm_changed: jax.Array | None = None,
+    warm_raised: jax.Array | None = None,
     warm_pos: jax.Array | None = None,
     warm_window: int | None = None,
     init_pad: jax.Array | None = None,
@@ -1701,13 +1702,26 @@ def banded_solve_padded(
         mask_p = jnp.pad(
             mask, ((0, Rp - mask.shape[0]), (0, 0)), constant_values=False
         )
+        # invalidation is needed only for weight RAISES (a label is
+        # stale-low iff its old path crossed a raised edge); drops resolve
+        # by relaxation from the dirty rows. With `warm_raised` the
+        # threshold/shadow cut restricts to the raised set — a pure CLEAR
+        # update then cuts nothing and its passes skip almost every row.
+        if warm_raised is not None:
+            raise_p = jnp.pad(
+                _dilate_changed(plan, warm_raised),
+                ((0, Rp - warm_raised.shape[0]), (0, 0)),
+                constant_values=False,
+            )
+        else:
+            raise_p = mask_p
         wd32 = warm_d.astype(jnp.float32)
-        # per-lane threshold = min d_prev over the changed set. The masked
-        # min only needs the changed ROWS — slice a static window around
+        # per-lane threshold = min d_prev over the raised set. The masked
+        # min only needs the raised ROWS — slice a static window around
         # them (a sensed obstacle spans a few rows; full-field min costs a
         # whole 0.5 GB read at 1M x 128) with an in-jit full fallback
         WT = 32
-        rows_m = mask_p.any(axis=1)
+        rows_m = raise_p.any(axis=1)
         ridx = jnp.arange(Rp)
         r_a = jnp.min(jnp.where(rows_m, ridx, Rp))
         r_b = jnp.max(jnp.where(rows_m, ridx, -1))
@@ -1719,12 +1733,12 @@ def banded_solve_padded(
                 wd32, (t0r, 0, 0), (min(WT, Rp), Cp, Bp)
             )
             m_w = jax.lax.dynamic_slice(
-                mask_p, (t0r, 0), (min(WT, Rp), Cp)
+                raise_p, (t0r, 0), (min(WT, Rp), Cp)
             )
             return jnp.min(jnp.where(m_w[:, :, None], wd_w, INF), axis=(0, 1))
 
         def th_full():
-            return jnp.min(jnp.where(mask_p[:, :, None], wd32, INF), axis=(0, 1))
+            return jnp.min(jnp.where(raise_p[:, :, None], wd32, INF), axis=(0, 1))
 
         thresh = jax.lax.cond(fits_t, th_win, th_full)       # [Bp]
         # the previous solve is only tolerance-exact, so shave the
@@ -1743,7 +1757,7 @@ def banded_solve_padded(
             # resolve MEASURED 99 ms vs 68 cold at 1M without this; the
             # shadow bound restricts re-solving to the cone behind the
             # obstacle)
-            chm = mask_p
+            chm = raise_p
             pos = jnp.pad(
                 warm_pos,
                 ((0, 0), (0, Rp - warm_pos.shape[1]), (0, 0)),
@@ -2060,6 +2074,25 @@ def changed_plane_from_costs(
     )
     return jnp.pad(
         ch.reshape(R, C), ((0, 0), (0, Cp - C)), constant_values=False
+    )
+
+
+def raised_plane_from_costs(
+    plan: BandedKernelPlan, old_costs: jax.Array, new_costs: jax.Array
+) -> jax.Array:
+    """[R, Cp] bool plane of vertices whose cost INCREASED. Only raises can
+    strand stale-low labels (a label is stale-low iff its old shortest path
+    crossed an edge whose weight went UP — the slot-weight formula is
+    monotone in both endpoint costs), so the warm resolve's
+    raise-invalidation threshold should be computed over this set, not over
+    all changes: a pure CLEAR update then invalidates nothing and resolves
+    by relaxation from the dirty rows alone."""
+    R, C, Cp, V = plan.n_rows, plan.n_cols, plan.n_cols_pad, plan.num_vertices
+    up = jnp.zeros(R * C, bool).at[:V].set(
+        (new_costs > old_costs) | (jnp.isnan(new_costs) & ~jnp.isnan(old_costs))
+    )
+    return jnp.pad(
+        up.reshape(R, C), ((0, 0), (0, Cp - C)), constant_values=False
     )
 
 

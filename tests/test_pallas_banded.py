@@ -670,3 +670,82 @@ def test_warm_window_seam_crossing_falls_back():
     np.testing.assert_allclose(
         np.asarray(warm.d_pad), np.asarray(cold.d_pad), rtol=1e-4, atol=1e-5
     )
+
+
+def test_warm_raised_clear_matches_cold():
+    """Raise-aware invalidation (warm_raised): a pure CLEAR update has an
+    empty raised set, so the cut threshold is +inf and the resolve runs by
+    relaxation from the dirty rows alone — and must still reach the cold
+    fixed point (labels must come back DOWN to the pre-obstacle field).
+    A mixed raise+drop update (moved obstacle) must also match cold."""
+    m = _terrain16()
+    rng = np.random.default_rng(11)
+    costs = rng.uniform(0.0, 0.4, m.num_vertices).astype(np.float32)
+    _, W0 = _weights(m, costs)
+    plan0 = pallas_banded.build_banded_kernel_plan(m, W0)
+    seeds = jnp.asarray([3, 100, 200], jnp.int32)
+    TOL = dict(atol=1e-6, rtol=1e-6)
+    res0 = pallas_banded.banded_solve_padded(plan0, seeds, **TOL)
+
+    pos = np.asarray(m.vertices)
+    d2 = np.sum((pos[:, :2] - pos[120, :2]) ** 2, axis=1)
+    costs2 = np.where(d2 < 1.0, np.inf, costs).astype(np.float32)
+    plan2 = pallas_banded.refresh_banded_planes_from_costs(
+        plan0, jnp.asarray(costs2), edge_cost_factor=1.0, cost_limit=1.0
+    )
+    changed = pallas_banded.changed_plane_from_costs(
+        plan0, jnp.asarray(costs), jnp.asarray(costs2)
+    )
+    raised = pallas_banded.raised_plane_from_costs(
+        plan0, jnp.asarray(costs), jnp.asarray(costs2)
+    )
+    # raise: raised == changed (all changes are increases)
+    np.testing.assert_array_equal(np.asarray(raised), np.asarray(changed))
+    warm = pallas_banded.banded_solve_padded(
+        plan2, seeds, **TOL, warm_d=res0.d_pad, warm_changed=changed,
+        warm_raised=raised, warm_pos=pallas_banded.position_planes(plan2, m),
+        converge="check",
+    )
+    cold2 = pallas_banded.banded_solve_padded(plan2, seeds, **TOL)
+    np.testing.assert_allclose(
+        np.asarray(warm.d_pad), np.asarray(cold2.d_pad), rtol=1e-4, atol=1e-5
+    )
+
+    # pure clear: raised set EMPTY -> no invalidation, relaxation only
+    raised_back = pallas_banded.raised_plane_from_costs(
+        plan0, jnp.asarray(costs2), jnp.asarray(costs)
+    )
+    assert not bool(np.asarray(raised_back).any())
+    changed_back = pallas_banded.changed_plane_from_costs(
+        plan0, jnp.asarray(costs2), jnp.asarray(costs)
+    )
+    back = pallas_banded.banded_solve_padded(
+        plan0, seeds, **TOL, warm_d=warm.d_pad, warm_changed=changed_back,
+        warm_raised=raised_back, converge="check",
+    )
+    assert bool(back.converged)
+    np.testing.assert_allclose(
+        np.asarray(back.d_pad), np.asarray(res0.d_pad), rtol=1e-4, atol=1e-5
+    )
+
+    # mixed: move the disc (raises at the new site, drops at the old)
+    d2b = np.sum((pos[:, :2] - pos[140, :2]) ** 2, axis=1)
+    costs3 = np.where(d2b < 1.0, np.inf, costs).astype(np.float32)
+    plan3 = pallas_banded.refresh_banded_planes_from_costs(
+        plan0, jnp.asarray(costs3), edge_cost_factor=1.0, cost_limit=1.0
+    )
+    warm3 = pallas_banded.banded_solve_padded(
+        plan3, seeds, **TOL, warm_d=warm.d_pad,
+        warm_changed=pallas_banded.changed_plane_from_costs(
+            plan0, jnp.asarray(costs2), jnp.asarray(costs3)
+        ),
+        warm_raised=pallas_banded.raised_plane_from_costs(
+            plan0, jnp.asarray(costs2), jnp.asarray(costs3)
+        ),
+        warm_pos=pallas_banded.position_planes(plan3, m),
+        converge="check",
+    )
+    cold3 = pallas_banded.banded_solve_padded(plan3, seeds, **TOL)
+    np.testing.assert_allclose(
+        np.asarray(warm3.d_pad), np.asarray(cold3.d_pad), rtol=1e-4, atol=1e-5
+    )
