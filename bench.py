@@ -379,7 +379,15 @@ def main():
             ),
         )
         srv = MeshNavServer(mesh, nav_cfg, planner_kind="dijkstra")
-        step = srv.make_replan_step("obst")
+        # warm_window stays OFF for this cohort: measured 33.1 Hz (None) vs
+        # 19.2 Hz (384) on the jump/drift/clear mix — jump/drift shadows
+        # span the mesh (window never fits) and a clear's improvement wave
+        # crosses the slab border in its first down sweep, so the window
+        # only pays for genuinely local updates / small cohorts
+        step = srv.make_replan_step(
+            "obst", warm_window=int(os.environ.get("BENCH_WARM_WINDOW", "0"))
+            or None,
+        )
         log(f"# [replan] server + cascade built (+{time.time()-t_rs:.1f}s)")
 
         # replan latency is per-UPDATE (one sensed obstacle -> refreshed

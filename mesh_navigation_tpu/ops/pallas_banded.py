@@ -1881,37 +1881,54 @@ def banded_solve_padded(
                         interpret=interpret,
                     )
 
-                d_s1, dirty_s1 = round_s(
-                    d_s, dirty_s, (lb_s, cutth, seedrc_s)
-                )
-
-                def body_s(c):
-                    d_c, dirty_c, it, _ = c
-                    d_c, dirty_c = round_s(d_c, dirty_c, None)
-                    return d_c, dirty_c, it + 1, ~chk_s(d_c)
-
-                d_sf, _, it_s, viol_sf = jax.lax.while_loop(
-                    lambda c: c[3] & (c[2] < 16), body_s,
-                    (d_s1, dirty_s1, jnp.int32(1), ~chk_s(d_s1)),
-                )
                 top_in = jax.lax.dynamic_slice(
                     wd_t, (lo_w, 0, 0), (GH, Cp, Bp)
                 )
                 bot_in = jax.lax.dynamic_slice(
                     wd_t, (lo_w + WW - GH, 0, 0), (GH, Cp, Bp)
                 )
-                border_same = jnp.all(d_sf[:GH] == top_in) & jnp.all(
-                    d_sf[WW - GH:] == bot_in
+
+                def border_ok(d_c):
+                    return jnp.all(d_c[:GH] == top_in) & jnp.all(
+                        d_c[WW - GH:] == bot_in
+                    )
+
+                d_s1, dirty_s1 = round_s(
+                    d_s, dirty_s, (lb_s, cutth, seedrc_s)
+                )
+
+                def body_s(c):
+                    d_c, dirty_c, it, _, _ = c
+                    d_c, dirty_c = round_s(d_c, dirty_c, None)
+                    bok = border_ok(d_c)
+                    return d_c, dirty_c, it + 1, ~chk_s(d_c), bok
+
+                # the seam test runs EVERY round: a correction that wants to
+                # cross the window edge (a down pass carries a drop across
+                # the whole slab in one sweep) must abort to the full loop
+                # immediately, not after burning the round budget
+                bok1 = border_ok(d_s1)
+                d_sf, _, it_s, viol_sf, bok_f = jax.lax.while_loop(
+                    lambda c: c[3] & c[4] & (c[2] < 16), body_s,
+                    (d_s1, dirty_s1, jnp.int32(1), ~chk_s(d_s1), bok1),
                 )
                 d_back = jax.lax.dynamic_update_slice(
                     wd_t, d_sf, (lo_w, 0, 0)
                 )
-                done = border_same & ~viol_sf
-                # fallback rounds must rescan everything (the drop-seeded
-                # dirty rows were consumed by the slab loop)
+                done = bok_f & ~viol_sf
+                # fallback dirty: labels changed only inside the slab, and
+                # outside rows get scanned via the pass's own improvement
+                # flags — mark the slab rows + the original changed/seed
+                # rows dirty (all-ones would force a full-scan round)
+                slab_rows = (ridx >= lo_w) & (ridx < lo_w + WW)
                 dirty_b = jnp.where(
-                    done, 0, 1
-                ) * jnp.ones((n_j, Rp), jnp.int32)
+                    done,
+                    jnp.zeros((n_j, Rp), jnp.int32),
+                    jnp.broadcast_to(
+                        (row_dirty | slab_rows)[None, :].astype(jnp.int32),
+                        (n_j, Rp),
+                    ),
+                )
                 return d_back, dirty_b, it_s, ~done
 
             def full_branch(_):
